@@ -1,0 +1,210 @@
+"""Scatter / segment argmax ops — the TPU replacement for torch-scatter.
+
+The reference's voxel dedup keeps, per (batch, row, col) 2D voxel, the
+point with maximum height via ``torch_scatter.scatter_max``
+(reference: ivlnce_baselines/common/mapping_module/mapper.py:428-474), and
+rasterizes maps with last-write-wins scatter assignment (mapper.py:569-571).
+
+TPU-native design: everything is expressed as fixed-shape masked scatters
+(``Array.at[...].max/min/set``) which XLA lowers to on-chip scatter loops,
+plus a deterministic argmax-payload recovery trick:
+
+1. scatter-max the key values into the output grid;
+2. gather back; a point is a *winner* iff it is valid and its value equals
+   the post-update grid value;
+3. break ties deterministically by scatter-min of the point index;
+4. scatter payloads from the unique winners.
+
+Ties therefore resolve to the lowest point index (torch-scatter leaves the
+tie choice implementation-defined, so any deterministic rule is parity-
+safe). Masked-out points are parked at index 0 with -inf values so shapes
+stay static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+class SegmentArgmax(NamedTuple):
+    max_values: jnp.ndarray  # (num_segments,) max per segment (-inf if empty)
+    argmax: jnp.ndarray  # (num_segments,) winning point index (or N if empty)
+    winner_mask: jnp.ndarray  # (N,) True for the unique winner of its segment
+
+
+def segment_argmax(
+    values: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    valid: jnp.ndarray,
+) -> SegmentArgmax:
+    """Per-segment max + deterministic argmax with validity masking.
+
+    Args:
+        values: (N,) float32.
+        segment_ids: (N,) int32 in [0, num_segments). Invalid points may
+            hold any in-range id.
+        num_segments: static segment count.
+        valid: (N,) bool.
+    """
+    n = values.shape[0]
+    ids = jnp.where(valid, segment_ids, 0)
+    vals = jnp.where(valid, values, NEG_INF)
+
+    maxes = jnp.full((num_segments,), NEG_INF, values.dtype)
+    maxes = maxes.at[ids].max(vals, mode="drop")
+
+    gathered = maxes[ids]
+    is_max = valid & (vals == gathered)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    argmaxes = jnp.full((num_segments,), n, dtype=jnp.int32)
+    argmaxes = argmaxes.at[ids].min(
+        jnp.where(is_max, idx, n), mode="drop"
+    )
+
+    winner = is_max & (argmaxes[ids] == idx)
+    return SegmentArgmax(maxes, argmaxes, winner)
+
+
+def keep_highest_dedup(
+    heights: jnp.ndarray,
+    cell_ids: jnp.ndarray,
+    num_cells: int,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Voxel dedup mask: True for the single highest valid point per cell.
+
+    Functional equivalent of the reference's KeepHighestSemanticPointcloud
+    (mapper.py:428-474) with masking instead of gather-compaction (XLA
+    needs static shapes; downstream consumers honor the mask).
+    """
+    return segment_argmax(heights, cell_ids, num_cells, valid).winner_mask
+
+
+def scatter_argmax_grid_update(
+    grid_key: jnp.ndarray,
+    grid_payload: Tuple[jnp.ndarray, ...],
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    keys: jnp.ndarray,
+    payloads: Tuple[jnp.ndarray, ...],
+    valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Batched argmax-by-key grid update (the world-map accumulator).
+
+    For every valid point, if ``key > grid_key[b, r, c]`` the cell adopts
+    the point's key and payloads. Ties keep the incumbent; simultaneous new
+    points tie-break to the lowest point index. Out-of-grid points must be
+    pre-masked via ``valid``.
+
+    Args:
+        grid_key: (B, R, C) float32 current per-cell key (e.g. max height;
+            empty cells = -inf).
+        grid_payload: tuple of (B, R, C[, ...]) arrays updated alongside.
+        rows, cols: (B, N) int32 target cells.
+        keys: (B, N) float32.
+        payloads: tuple of (B, N[, ...]) arrays, dtypes matching
+            grid_payload.
+        valid: (B, N) bool.
+    Returns:
+        (new_grid_key, new_grid_payloads)
+    """
+    grid_key = jnp.asarray(grid_key)
+    grid_payload = tuple(jnp.asarray(g) for g in grid_payload)
+    b, n = keys.shape
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, n)
+    )
+    r = jnp.where(valid, rows, 0)
+    c = jnp.where(valid, cols, 0)
+    k = jnp.where(valid, keys, NEG_INF)
+
+    new_key = grid_key.at[batch_idx, r, c].max(k, mode="drop")
+
+    gathered = new_key[batch_idx, r, c]
+    # strictly-greater-than-incumbent semantics: a point wins only if it
+    # raised the cell's key above the previous value OR matched the new max
+    # while the incumbent was lower (tie among new points).
+    prev = grid_key[batch_idx, r, c]
+    is_max = valid & (k == gathered) & (k > prev)
+
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    first_idx = jnp.full(grid_key.shape, n, dtype=jnp.int32)
+    first_idx = first_idx.at[batch_idx, r, c].min(
+        jnp.where(is_max, idx, n), mode="drop"
+    )
+    winner = is_max & (first_idx[batch_idx, r, c] == idx)
+
+    # Route non-winners out of bounds so mode="drop" discards them — each
+    # cell then receives at most one update (scatter order is unspecified
+    # for duplicate indices, so losers must not write at all).
+    r_w = jnp.where(winner, r, grid_key.shape[1])
+    new_payloads = []
+    for grid_arr, pt_arr in zip(grid_payload, payloads):
+        new_payloads.append(
+            grid_arr.at[batch_idx, r_w, c].set(pt_arr, mode="drop")
+        )
+    return new_key, tuple(new_payloads)
+
+
+def rasterize_argmax(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_rows: int,
+    num_cols: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rasterize per-point values into a fresh (B, R, C) grid.
+
+    Occupancy = any valid point in the cell; value = the value of the
+    argmax-key (highest) point. The reference writes values last-write-wins
+    (mapper.py:569-571) over an arbitrary point order; we use the
+    deterministic highest-point rule instead (documented divergence — the
+    reference order is implementation-defined).
+
+    Returns:
+        occupancy (B, R, C) uint8, value_map (B, R, C) same dtype as values.
+    """
+    b, n = keys.shape
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, n)
+    )
+    r = jnp.where(valid, rows, 0)
+    c = jnp.where(valid, cols, 0)
+    k = jnp.where(valid, keys, NEG_INF)
+
+    occupancy = jnp.zeros((b, num_rows, num_cols), jnp.uint8)
+    occupancy = occupancy.at[batch_idx, r, c].max(
+        valid.astype(jnp.uint8), mode="drop"
+    )
+
+    key_grid = jnp.full((b, num_rows, num_cols), NEG_INF, keys.dtype)
+    key_grid = key_grid.at[batch_idx, r, c].max(k, mode="drop")
+    is_max = valid & (k == key_grid[batch_idx, r, c])
+
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    first_idx = jnp.full((b, num_rows, num_cols), n, dtype=jnp.int32)
+    first_idx = first_idx.at[batch_idx, r, c].min(
+        jnp.where(is_max, idx, n), mode="drop"
+    )
+    winner = is_max & (first_idx[batch_idx, r, c] == idx)
+
+    # only winners may write (see scatter_argmax_grid_update note)
+    r_w = jnp.where(winner, r, num_rows)
+    value_map = jnp.zeros((b, num_rows, num_cols), values.dtype)
+    value_map = value_map.at[batch_idx, r_w, c].set(values, mode="drop")
+    return occupancy, value_map
+
+
+def _expand_like(mask: jnp.ndarray, arr: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a (B, N) mask against (B, N, ...) payloads."""
+    extra = arr.ndim - mask.ndim
+    return mask.reshape(mask.shape + (1,) * extra)

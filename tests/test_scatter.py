@@ -1,0 +1,163 @@
+"""Tests for segment/scatter argmax ops vs brute-force NumPy and
+torch-scatter-equivalent semantics (reference mapper.py:428-474)."""
+
+import jax
+import numpy as np
+
+from ivlnce_tpu.ops import scatter as S
+
+
+def brute_force_argmax(values, ids, num_segments, valid):
+    maxes = np.full(num_segments, -np.inf, np.float32)
+    argmax = np.full(num_segments, len(values), np.int64)
+    for i, (v, s, ok) in enumerate(zip(values, ids, valid)):
+        if not ok:
+            continue
+        if v > maxes[s] or (v == maxes[s] and i < argmax[s]):
+            maxes[s] = v
+            argmax[s] = i
+    return maxes, argmax
+
+
+def test_segment_argmax_matches_brute_force(rng):
+    n, num_segments = 257, 19
+    values = rng.normal(size=(n,)).astype(np.float32)
+    ids = rng.integers(0, num_segments, size=(n,)).astype(np.int32)
+    valid = rng.random(n) > 0.3
+    out = S.segment_argmax(values, ids, num_segments, valid)
+    ref_max, ref_arg = brute_force_argmax(values, ids, num_segments, valid)
+    np.testing.assert_allclose(np.asarray(out.max_values), ref_max)
+    np.testing.assert_array_equal(np.asarray(out.argmax), ref_arg)
+    winners = np.asarray(out.winner_mask)
+    # exactly one winner per non-empty segment, and it is the argmax
+    for s in range(num_segments):
+        seg_winners = np.where(winners & (ids == s) & valid)[0]
+        if np.isfinite(ref_max[s]):
+            assert list(seg_winners) == [ref_arg[s]]
+        else:
+            assert len(seg_winners) == 0
+
+
+def test_segment_argmax_ties_pick_lowest_index():
+    values = np.array([1.0, 2.0, 2.0, 0.5], np.float32)
+    ids = np.array([0, 0, 0, 1], np.int32)
+    out = S.segment_argmax(values, ids, 2, np.ones(4, bool))
+    assert int(out.argmax[0]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(out.winner_mask), [False, True, False, True]
+    )
+
+
+def test_keep_highest_dedup_matches_reference_semantics(rng):
+    """Replicates KeepHighestSemanticPointcloud on a synthetic cloud."""
+    n = 500
+    res = 0.1
+    xyz = (rng.random((n, 3)) * 4 - 2).astype(np.float32)
+    half = res / 2
+    rows = np.round(xyz[:, 2] / half).astype(np.int64)
+    cols = np.round(xyz[:, 0] / half).astype(np.int64)
+    rows -= rows.min()
+    cols -= cols.min()
+    ncols = cols.max() + 1
+    flat = (rows * ncols + cols).astype(np.int32)
+    num_cells = int(flat.max()) + 1
+
+    mask = np.asarray(
+        S.keep_highest_dedup(
+            xyz[:, 1], flat, num_cells, np.ones(n, bool)
+        )
+    )
+    # per surviving cell, height equals the cell's max height
+    for cell in np.unique(flat):
+        sel = flat == cell
+        kept = mask & sel
+        assert kept.sum() == 1
+        assert xyz[kept, 1][0] == xyz[sel, 1].max()
+
+
+def test_scatter_argmax_grid_update_incremental_equals_batch(rng):
+    """Streaming points into the grid must equal a single brute-force pass
+    (this is the property that makes the world grid replace the reference's
+    concat + re-dedup, mapper.py:844-847)."""
+    B, R, C = 2, 16, 16
+    grid_key = np.full((B, R, C), -np.inf, np.float32)
+    grid_sem = np.zeros((B, R, C), np.int32)
+    grid_x = np.zeros((B, R, C), np.float32)
+
+    all_pts = []
+    for _ in range(3):  # three "frames"
+        n = 64
+        rows = rng.integers(0, R, size=(B, n)).astype(np.int32)
+        cols = rng.integers(0, C, size=(B, n)).astype(np.int32)
+        keys = rng.normal(size=(B, n)).astype(np.float32)
+        sem = rng.integers(0, 13, size=(B, n)).astype(np.int32)
+        xs = rng.normal(size=(B, n)).astype(np.float32)
+        valid = rng.random((B, n)) > 0.2
+        all_pts.append((rows, cols, keys, sem, xs, valid))
+        grid_key, (grid_sem, grid_x) = jax.tree_util.tree_map(
+            np.asarray,
+            S.scatter_argmax_grid_update(
+                grid_key, (grid_sem, grid_x), rows, cols, keys,
+                (sem, xs), valid,
+            ),
+        )
+
+    # brute force over the full stream
+    ref_key = np.full((B, R, C), -np.inf, np.float32)
+    ref_sem = np.zeros((B, R, C), np.int32)
+    ref_x = np.zeros((B, R, C), np.float32)
+    for rows, cols, keys, sem, xs, valid in all_pts:
+        for b in range(B):
+            for i in range(rows.shape[1]):
+                if not valid[b, i]:
+                    continue
+                r, c = rows[b, i], cols[b, i]
+                if keys[b, i] > ref_key[b, r, c]:
+                    ref_key[b, r, c] = keys[b, i]
+                    ref_sem[b, r, c] = sem[b, i]
+                    ref_x[b, r, c] = xs[b, i]
+
+    np.testing.assert_allclose(grid_key, ref_key)
+    np.testing.assert_array_equal(grid_sem, ref_sem)
+    np.testing.assert_allclose(grid_x, ref_x)
+
+
+def test_rasterize_argmax(rng):
+    B, n, R, C = 2, 200, 8, 8
+    rows = rng.integers(0, R, size=(B, n)).astype(np.int32)
+    cols = rng.integers(0, C, size=(B, n)).astype(np.int32)
+    keys = rng.normal(size=(B, n)).astype(np.float32)
+    values = rng.integers(1, 13, size=(B, n)).astype(np.uint8)
+    valid = rng.random((B, n)) > 0.5
+
+    occ, val = S.rasterize_argmax(rows, cols, keys, values, valid, R, C)
+    occ, val = np.asarray(occ), np.asarray(val)
+
+    for b in range(B):
+        for r in range(R):
+            for c in range(C):
+                sel = (rows[b] == r) & (cols[b] == c) & valid[b]
+                if sel.any():
+                    assert occ[b, r, c] == 1
+                    best = np.argmax(np.where(sel, keys[b], -np.inf))
+                    assert val[b, r, c] == values[b, best]
+                else:
+                    assert occ[b, r, c] == 0
+                    assert val[b, r, c] == 0
+
+
+def test_ops_jit_and_vmap_compatible(rng):
+    """The ops must trace under jit (static shapes, no python branching)."""
+    B, n, R, C = 2, 32, 8, 8
+    f = jax.jit(
+        lambda *a: S.rasterize_argmax(*a, num_rows=R, num_cols=C)
+    )
+    occ, val = f(
+        rng.integers(0, R, size=(B, n)).astype(np.int32),
+        rng.integers(0, C, size=(B, n)).astype(np.int32),
+        rng.normal(size=(B, n)).astype(np.float32),
+        rng.integers(0, 13, size=(B, n)).astype(np.uint8),
+        np.ones((B, n), bool),
+    )
+    assert occ.shape == (B, R, C)
+    assert val.shape == (B, R, C)
