@@ -1,0 +1,348 @@
+"""TPU-native semantic mapping module.
+
+Functional redesign of the reference MappingModule (reference:
+ivlnce_baselines/common/mapping_module/mapper.py:904-948), which per step:
+
+1. predicts/receives per-pixel semantics,
+2. unprojects the depth frame to a world point cloud,
+3. filters by depth validity and a height window around the robot,
+4. voxel-dedups keeping the highest point per half-resolution 2D cell
+   (torch_scatter.scatter_max, mapper.py:428-474),
+5. concatenates into an UNBOUNDED per-tour world point cloud and re-dedups
+   (mapper.py:844-847),
+6. filters by a second height window and rasterizes an egocentric
+   occupancy + semantic map around the current robot pose
+   (mapper.py:506-617).
+
+XLA requires static shapes, and the concat+re-dedup is O(cloud) per step.
+Because the dedup keeps exactly one point per half-resolution world cell,
+the world cloud IS a sparse 2D grid — so we store it densely: a per-lane
+world voxel grid holding, per cell, the max height and that point's exact
+(x, z) world coordinates + semantic label. Per step we:
+
+1. scatter-argmax the frame's points into the grid (O(frame), not
+   O(cloud)),
+2. dynamic-slice a local window around the robot (the egocentric map can
+   only see cells within map_diagonal/2 + slack),
+3. height-filter, egocentric-shift and rasterize the window's stored
+   points exactly like the reference.
+
+Storing the original float (x, z) per voxel keeps the rotation+rounding
+math bit-comparable to the reference (rotating quantized cell centers
+would shift map cells by up to half a voxel).
+
+Divergences (documented):
+- semantic rasterization resolves multi-point map cells with
+  highest-point-wins instead of the reference's implementation-defined
+  last-write-wins scatter order (mapper.py:569-571);
+- ties in the voxel dedup keep the incumbent / lowest point index
+  (torch_scatter leaves tie choice undefined);
+- the world extent is bounded by the grid (default 1024 half-res cells =
+  51.2 m at 0.1 m map resolution); points beyond it are dropped.
+- RobotStartState bookkeeping (mapper.py:141-177) is omitted: the
+  reference updates it but never consumes it downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ivlnce_tpu.mapping.camera import CameraParameters
+from ivlnce_tpu.ops import geometry as G
+from ivlnce_tpu.ops import scatter as S
+
+# reference filter constants
+FRAME_DEPTH_MIN = 0.01  # normalized (mapper.py:417)
+FRAME_DEPTH_MAX = 0.99
+FRAME_HEIGHT_BELOW = 1.0  # (mapper.py:420-424): keep h in (rob-1.0, rob+0.5)
+FRAME_HEIGHT_ABOVE = 0.5
+MAP_HEIGHT_BELOW = 1.25  # (mapper.py:884-901): keep h in (rob-1.25, rob+0.75)
+MAP_HEIGHT_ABOVE = 0.75
+DEPTH_SCALE_METERS = 10.0  # (mapper.py:381-384)
+FLOOR_LABEL = 0  # (mapper.py:597-599)
+
+
+class MapperParams(NamedTuple):
+    """Static (hashable) mapper geometry."""
+
+    camera: CameraParameters
+    map_height_meters: float
+    map_width_meters: float
+    resolution_meters: float
+    grid_cells: int = 1024  # world grid side, in half-resolution cells
+    window_cells: int = 192  # local window side (>= map diagonal + slack)
+
+    @property
+    def half_res(self) -> float:
+        # voxel dedup runs at half the map resolution (mapper.py:464)
+        return self.resolution_meters / 2
+
+    @property
+    def map_dims(self) -> G.MapDims:
+        return G.MapDims(
+            self.map_height_meters,
+            self.map_width_meters,
+            self.resolution_meters,
+        )
+
+
+class MapperState(NamedTuple):
+    """Per-lane batched world-map state (a single pytree carried across
+    steps; lanes reset by mask multiplies like the reference's
+    not_done_masks threading)."""
+
+    height: jnp.ndarray  # (B, Gr, Gc) f32, -inf = empty cell
+    x: jnp.ndarray  # (B, Gr, Gc) f32 world x of the stored point
+    z: jnp.ndarray  # (B, Gr, Gc) f32 world z
+    sem: jnp.ndarray  # (B, Gr, Gc) uint8 semantic label
+    origin: jnp.ndarray  # (B, 2) i32 world half-res cell of grid [0, 0]
+    origin_set: jnp.ndarray  # (B,) bool
+
+
+def init_state(batch_size: int, grid_cells: int) -> MapperState:
+    g = grid_cells
+    return MapperState(
+        height=jnp.full((batch_size, g, g), -jnp.inf, jnp.float32),
+        x=jnp.zeros((batch_size, g, g), jnp.float32),
+        z=jnp.zeros((batch_size, g, g), jnp.float32),
+        sem=jnp.zeros((batch_size, g, g), jnp.uint8),
+        origin=jnp.zeros((batch_size, 2), jnp.int32),
+        origin_set=jnp.zeros((batch_size,), bool),
+    )
+
+
+def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
+    """Reset lanes where keep_mask == 0 (the reference's
+    clear_completed_episode_data, mapper.py:310-326, driven by episodic vs
+    tour not_done_masks chosen by the trainer)."""
+    keep3 = keep_mask[:, None, None]
+    return MapperState(
+        height=jnp.where(keep3, state.height, -jnp.inf),
+        x=jnp.where(keep3, state.x, 0.0),
+        z=jnp.where(keep3, state.z, 0.0),
+        sem=jnp.where(keep3, state.sem, jnp.uint8(0)),
+        origin=jnp.where(keep_mask[:, None], state.origin, 0),
+        origin_set=state.origin_set & keep_mask,
+    )
+
+
+def _world_cells(
+    x_m: jnp.ndarray, z_m: jnp.ndarray, half_res: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Absolute world half-res voxel coords: rows keyed by z, cols by x
+    (the reference keys dedup cells by (z, x), mapper.py:455-459)."""
+    r = jnp.round(z_m / half_res).astype(jnp.int32)
+    c = jnp.round(x_m / half_res).astype(jnp.int32)
+    return r, c
+
+
+def _grid_origin_for(pose: jnp.ndarray, params: "MapperParams") -> jnp.ndarray:
+    """(B, 2) grid origin cells centering the grid on the given pose."""
+    r, c = _world_cells(pose[:, 0], pose[:, 2], params.half_res)
+    half = params.grid_cells // 2
+    return jnp.stack([r - half, c - half], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "update_world"))
+def mapper_step(
+    params: MapperParams,
+    state: MapperState,
+    depth: jnp.ndarray,  # (B, H, W) normalized [0, 1]
+    semantics: jnp.ndarray,  # (B, H, W) uint8 labels
+    pose: jnp.ndarray,  # (B, 3) world camera position
+    elevation: jnp.ndarray,  # (B,)
+    heading: jnp.ndarray,  # (B,)
+    not_done_masks: jnp.ndarray,  # (B,) 0 clears the lane's world state
+    update_world: bool = True,
+) -> Tuple[MapperState, jnp.ndarray, jnp.ndarray]:
+    """One mapping step: returns (state, occupancy_map, semantic_map),
+    maps are (B, rows, cols) uint8.
+
+    ``update_world=False`` skips the frame accumulation (known-map mode,
+    where the world grid is preloaded, reference mapper.py:851-881).
+    """
+    b = depth.shape[0]
+    keep = not_done_masks.astype(bool)
+    state = clear_lanes(state, keep)
+
+    # establish per-lane grid origin on (re)start: center grid on robot
+    new_origin = _grid_origin_for(pose, params)
+    origin = jnp.where(state.origin_set[:, None], state.origin, new_origin)
+    state = state._replace(origin=origin, origin_set=jnp.ones((b,), bool))
+
+    if update_world:
+        state = _accumulate_frame(
+            params, state, depth, semantics, pose, elevation, heading
+        )
+
+    occ, sem_map = _rasterize_egocentric(params, state, pose, heading)
+    return state, occ, sem_map
+
+
+def _accumulate_frame(
+    params: MapperParams,
+    state: MapperState,
+    depth: jnp.ndarray,
+    semantics: jnp.ndarray,
+    pose: jnp.ndarray,
+    elevation: jnp.ndarray,
+    heading: jnp.ndarray,
+) -> MapperState:
+    b, h, w = depth.shape
+    cam = params.camera
+    x_scale, y_scale = G.pixel_ray_scaling(
+        cam.features_spatial_dimensions[1],
+        cam.features_spatial_dimensions[0],
+        cam.vertical_fov_radians,
+    )
+    # reference adds pi to elevation for the camera matrix (mapper.py:133)
+    T = G.transform3d(pose, elevation + jnp.pi, heading)
+    pts = G.depth_to_world_points(
+        depth, T, x_scale, y_scale, DEPTH_SCALE_METERS
+    )  # (B, H, W, 3)
+    pts = pts.reshape(b, h * w, 3)
+    sem = semantics.reshape(b, h * w)
+    depth_flat = depth.reshape(b, h * w)
+
+    # frame-time filters (mapper.py:415-424)
+    valid = (depth_flat > FRAME_DEPTH_MIN) & (depth_flat < FRAME_DEPTH_MAX)
+    robot_h = pose[:, 1:2]
+    heights = pts[:, :, 1]
+    valid &= (heights > robot_h - FRAME_HEIGHT_BELOW) & (
+        heights < robot_h + FRAME_HEIGHT_ABOVE
+    )
+
+    # world voxel cells relative to per-lane origin
+    r, c = _world_cells(pts[:, :, 0], pts[:, :, 2], params.half_res)
+    r = r - state.origin[:, 0:1]
+    c = c - state.origin[:, 1:2]
+    g = params.grid_cells
+    valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
+
+    new_height, (new_x, new_z, new_sem) = S.scatter_argmax_grid_update(
+        state.height,
+        (state.x, state.z, state.sem),
+        r,
+        c,
+        heights,
+        (pts[:, :, 0], pts[:, :, 2], sem),
+        valid,
+    )
+    return state._replace(height=new_height, x=new_x, z=new_z, sem=new_sem)
+
+
+def _rasterize_egocentric(
+    params: MapperParams,
+    state: MapperState,
+    pose: jnp.ndarray,
+    heading: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slice the local window and rasterize occupancy + semantic maps
+    exactly like DenseMap.update (mapper.py:555-617)."""
+    b = pose.shape[0]
+    wcells = params.window_cells
+    g = params.grid_cells
+
+    # robot cell relative to grid origin, clamped so the window fits
+    rr, cc = _world_cells(pose[:, 0], pose[:, 2], params.half_res)
+    robot_r = rr - state.origin[:, 0]
+    robot_c = cc - state.origin[:, 1]
+    start_r = jnp.clip(robot_r - wcells // 2, 0, g - wcells)
+    start_c = jnp.clip(robot_c - wcells // 2, 0, g - wcells)
+
+    def slice_lane(arr, sr, sc):
+        return jax.lax.dynamic_slice(arr, (sr, sc), (wcells, wcells))
+
+    slicer = jax.vmap(slice_lane)
+    win_h = slicer(state.height, start_r, start_c).reshape(b, -1)
+    win_x = slicer(state.x, start_r, start_c).reshape(b, -1)
+    win_z = slicer(state.z, start_r, start_c).reshape(b, -1)
+    win_sem = slicer(state.sem, start_r, start_c).reshape(b, -1)
+
+    valid = jnp.isfinite(win_h)
+    # map-time height filter (mapper.py:884-901)
+    robot_h = pose[:, 1:2]
+    valid &= (win_h > robot_h - MAP_HEIGHT_BELOW) & (
+        win_h < robot_h + MAP_HEIGHT_ABOVE
+    )
+
+    # egocentric shift of the stored float points (mapper.py:562-563)
+    xyz = jnp.stack([win_x, win_h, win_z], axis=-1)
+    ego = G.egocentric_shift(xyz, pose, heading)
+    dims = params.map_dims
+    rows, cols, in_bounds = G.project_to_map_indices(
+        ego[:, :, 2], ego[:, :, 0], dims
+    )
+    valid &= in_bounds
+
+    occupancy, _ = S.rasterize_argmax(
+        rows,
+        cols,
+        win_h,
+        win_sem,
+        valid,
+        dims.num_rows,
+        dims.num_cols,
+    )
+    # semantic map drops the floor label (mapper.py:601-617)
+    sem_valid = valid & (win_sem != FLOOR_LABEL)
+    _, semantic = S.rasterize_argmax(
+        rows,
+        cols,
+        win_h,
+        win_sem,
+        sem_valid,
+        dims.num_rows,
+        dims.num_cols,
+    )
+    return occupancy, semantic
+
+
+@functools.partial(jax.jit, static_argnames=("params", "max_points"))
+def load_points_into_state(
+    params: MapperParams,
+    state: MapperState,
+    lane_mask: jnp.ndarray,  # (B,) bool: lanes to load into
+    xyz: jnp.ndarray,  # (B, N, 3) padded point clouds (world frame)
+    sem: jnp.ndarray,  # (B, N) uint8
+    num_points: jnp.ndarray,  # (B,) actual point counts
+    origin_pose: jnp.ndarray,  # (B, 3) pose used to center the grid
+    max_points: Optional[int] = None,
+) -> MapperState:
+    """Preload known per-scene point clouds into lanes (known-map mode,
+    reference GetGTWorldSemanticPointcloud, mapper.py:851-881 +
+    SemanticPointcloud.from_npz_file, mapper.py:283-294)."""
+    b, n, _ = xyz.shape
+    # (re)center the grid on the episode start pose for loaded lanes
+    new_origin = _grid_origin_for(origin_pose, params)
+    load = lane_mask
+    state = clear_lanes(state, ~load)
+    origin = jnp.where(load[:, None], new_origin, state.origin)
+    state = state._replace(
+        origin=origin, origin_set=state.origin_set | load
+    )
+
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    valid = load[:, None] & (idx < num_points[:, None])
+
+    r = jnp.round(xyz[:, :, 2] / params.half_res).astype(jnp.int32)
+    c = jnp.round(xyz[:, :, 0] / params.half_res).astype(jnp.int32)
+    r = r - origin[:, 0:1]
+    c = c - origin[:, 1:2]
+    g = params.grid_cells
+    valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
+
+    new_height, (new_x, new_z, new_sem) = S.scatter_argmax_grid_update(
+        state.height,
+        (state.x, state.z, state.sem),
+        r,
+        c,
+        xyz[:, :, 1],
+        (xyz[:, :, 0], xyz[:, :, 2], sem),
+        valid,
+    )
+    return state._replace(height=new_height, x=new_x, z=new_z, sem=new_sem)
