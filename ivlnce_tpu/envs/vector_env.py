@@ -1,0 +1,284 @@
+"""Lane-batched vector environment.
+
+Replaces habitat's VectorEnv + the reference's ExtendedVectorEnv pipe
+protocol (reference: ivlnce_baselines/common/env_utils.py:23-258):
+
+- ``construct_envs``: splits scenes round-robin over
+  NUM_ENVIRONMENTS x len(SIMULATOR_GPU_IDS) workers with per-worker seed
+  offsets (env_utils.py:42-100);
+- iterative envs ship the 7-tuple step result and auto-reset on sim_done
+  returning the 3-tuple reset (env_utils.py:151-182);
+- ``pause_at`` shrinks the live lane set like habitat (the trainers'
+  lane-pause path, base_il_trainer.py:221-311);
+- ``call`` forwards attribute/method access to workers.
+
+Two transports: worker processes (forkserver) for real simulators, and an
+in-process synchronous transport (``multiprocessing=False``) — FakeSim is
+cheap, and in-process lanes avoid pickling overhead for tests and small
+runs. Both speak the identical protocol.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import random
+from typing import Any, Callable, Dict, List, Optional, Tuple, Type
+
+from ivlnce_tpu.tasks.dataset import make_dataset
+from ivlnce_tpu.utils.registry import registry
+
+STEP = "step"
+RESET = "reset"
+CALL = "call"
+CLOSE = "close"
+COUNT_EPISODES = "count_episodes"
+
+
+def make_env_fn(config, env_class):
+    dataset = make_dataset(
+        config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
+    )
+    return env_class(config, dataset)
+
+
+def _worker(conn, env_fn_args, auto_reset_done: bool):
+    env = make_env_fn(*env_fn_args)
+    try:
+        while True:
+            command, data = conn.recv()
+            if command == CLOSE:
+                break
+            conn.send(_execute(env, command, data, auto_reset_done))
+    except (KeyboardInterrupt, EOFError):
+        pass
+    finally:
+        env.close()
+        conn.close()
+
+
+def _execute(env, command: str, data, auto_reset_done: bool):
+    if command == STEP:
+        if getattr(env, "is_iterative", False):
+            (
+                observations, reward, agent_done, sim_done, tour_done,
+                produce_action, info,
+            ) = env.step(**data)
+            if auto_reset_done and sim_done:
+                observations, tour_done, produce_action = env.reset()
+            return (
+                observations, reward, agent_done, sim_done, tour_done,
+                produce_action, info,
+            )
+        observations, reward, done, info = env.step(**data)
+        if auto_reset_done and done:
+            observations = env.reset()
+        return observations, reward, done, info
+    if command == RESET:
+        return env.reset()
+    if command == CALL:
+        function_name, function_args = data
+        result_or_fn = getattr(env, function_name)
+        if function_args or callable(result_or_fn):
+            result = result_or_fn(**(function_args or {}))
+        else:
+            result = result_or_fn
+        return result
+    if command == COUNT_EPISODES:
+        return len(env.habitat_env.episodes)
+    raise NotImplementedError(command)
+
+
+class _ProcessLane:
+    def __init__(self, env_fn_args, auto_reset_done: bool, ctx):
+        parent, child = ctx.Pipe()
+        self._conn = parent
+        self._proc = ctx.Process(
+            target=_worker, args=(child, env_fn_args, auto_reset_done),
+            daemon=True,
+        )
+        self._proc.start()
+        child.close()
+
+    def send(self, command, data=None):
+        self._conn.send((command, data))
+
+    def recv(self):
+        return self._conn.recv()
+
+    def close(self):
+        try:
+            self._conn.send((CLOSE, None))
+            self._conn.close()
+        except (BrokenPipeError, OSError):
+            pass
+        self._proc.join(timeout=5)
+
+
+class _InProcessLane:
+    def __init__(self, env_fn_args, auto_reset_done: bool):
+        self._env = make_env_fn(*env_fn_args)
+        self._auto_reset_done = auto_reset_done
+        self._pending = None
+
+    def send(self, command, data=None):
+        self._pending = (command, data)
+
+    def recv(self):
+        command, data = self._pending
+        self._pending = None
+        return _execute(self._env, command, data, self._auto_reset_done)
+
+    def close(self):
+        self._env.close()
+
+
+class VectorEnv:
+    def __init__(
+        self,
+        env_fn_args: List[Tuple],
+        auto_reset_done: bool = True,
+        use_processes: bool = True,
+    ):
+        self._auto_reset_done = auto_reset_done
+        if use_processes:
+            ctx = mp.get_context("forkserver")
+            self._lanes: List[Any] = [
+                _ProcessLane(args, auto_reset_done, ctx)
+                for args in env_fn_args
+            ]
+        else:
+            self._lanes = [
+                _InProcessLane(args, auto_reset_done) for args in env_fn_args
+            ]
+        self._paused: List[Tuple[int, Any]] = []
+
+    @property
+    def num_envs(self) -> int:
+        return len(self._lanes)
+
+    # -- batched ops -----------------------------------------------------------
+    def reset(self):
+        for lane in self._lanes:
+            lane.send(RESET)
+        return [lane.recv() for lane in self._lanes]
+
+    def reset_at(self, index: int):
+        self._lanes[index].send(RESET)
+        return self._lanes[index].recv()
+
+    def step(self, actions: List):
+        for lane, action in zip(self._lanes, actions):
+            if isinstance(action, dict):
+                lane.send(STEP, action)
+            else:
+                lane.send(STEP, {"action": {"action": int(action)}})
+        return [lane.recv() for lane in self._lanes]
+
+    def call(self, function_names: List[str], function_args_list=None):
+        if function_args_list is None:
+            function_args_list = [None] * len(function_names)
+        for lane, name, args in zip(
+            self._lanes, function_names, function_args_list
+        ):
+            lane.send(CALL, (name, args))
+        return [lane.recv() for lane in self._lanes]
+
+    def call_at(self, index: int, function_name: str, function_args=None):
+        self._lanes[index].send(CALL, (function_name, function_args))
+        return self._lanes[index].recv()
+
+    def count_episodes(self) -> List[int]:
+        for lane in self._lanes:
+            lane.send(COUNT_EPISODES)
+        return [lane.recv() for lane in self._lanes]
+
+    def pause_at(self, index: int) -> None:
+        lane = self._lanes.pop(index)
+        self._paused.append((index, lane))
+
+    def resume_all(self) -> None:
+        for index, lane in reversed(self._paused):
+            self._lanes.insert(index, lane)
+        self._paused = []
+
+    def close(self) -> None:
+        for lane in self._lanes:
+            lane.close()
+        for _, lane in self._paused:
+            lane.close()
+        self._lanes, self._paused = [], []
+
+
+def construct_envs(
+    config,
+    env_class: Type,
+    auto_reset_done: bool = True,
+    episodes_allowed: Optional[List[str]] = None,
+    use_processes: Optional[bool] = None,
+) -> VectorEnv:
+    """Scene-sharded vector env construction (env_utils.py:23-108)."""
+    num_envs_per_gpu = config.NUM_ENVIRONMENTS
+    gpus = (
+        config.SIMULATOR_GPU_IDS
+        if isinstance(config.SIMULATOR_GPU_IDS, list)
+        else [config.SIMULATOR_GPU_IDS]
+    )
+    num_envs = len(gpus) * num_envs_per_gpu
+
+    if episodes_allowed is not None:
+        config = config.clone()
+        config.TASK_CONFIG.DATASET.EPISODES_ALLOWED = episodes_allowed
+        config.freeze()
+
+    dataset_cls = registry.get_dataset(config.TASK_CONFIG.DATASET.TYPE)
+    scenes = list(config.TASK_CONFIG.DATASET.CONTENT_SCENES)
+    if "*" in scenes:
+        scenes = dataset_cls.get_scenes_to_load(config.TASK_CONFIG.DATASET)
+
+    if num_envs > 1:
+        if len(scenes) == 0:
+            raise RuntimeError(
+                "No scenes to load; multi-process logic needs scenes to "
+                "split between processes"
+            )
+        if len(scenes) < num_envs and len(scenes) != 1:
+            raise RuntimeError(
+                "reduce the number of GPUs or envs: not enough scenes"
+            )
+        random.shuffle(scenes)
+
+    if len(scenes) == 1:
+        scene_splits = [[scenes[0]] for _ in range(num_envs)]
+    else:
+        scene_splits = [[] for _ in range(num_envs)]
+        for idx, scene in enumerate(scenes):
+            scene_splits[idx % len(scene_splits)].append(scene)
+
+    env_fn_args = []
+    for i in range(len(gpus)):
+        for j in range(num_envs_per_gpu):
+            proc_config = config.clone()
+            proc_id = i * num_envs_per_gpu + j
+            task_config = proc_config.TASK_CONFIG
+            task_config.SEED += proc_id
+            if scenes:
+                task_config.DATASET.CONTENT_SCENES = scene_splits[proc_id]
+            task_config.SIMULATOR.HABITAT_SIM_V0.GPU_DEVICE_ID = gpus[i]
+            proc_config.freeze()
+            env_fn_args.append((proc_config, env_class))
+
+    if use_processes is None:
+        # FakeSim lanes are cheap pure-python: in-process avoids pickling;
+        # real simulators get worker processes
+        use_processes = config.TASK_CONFIG.SIMULATOR.TYPE not in (
+            "FakeSim-v0",
+        )
+    return VectorEnv(
+        env_fn_args,
+        auto_reset_done=auto_reset_done,
+        use_processes=use_processes,
+    )
+
+
+def construct_envs_auto_reset_false(config, env_class) -> VectorEnv:
+    return construct_envs(config, env_class, auto_reset_done=False)

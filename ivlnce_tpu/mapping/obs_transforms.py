@@ -1,0 +1,288 @@
+"""Observation transformers: the egocentric mapper in the policy loop.
+
+Reference: ivlnce_baselines/common/obs_transforms.py — stateful batched
+map builders applied to observations each step. Four registered variants
+({GT, Predicted} semantics x {Iterative, Known} maps).
+
+TPU design: the transformer owns a MapperState pytree (device-resident)
+and one jitted mapper_step; per step it consumes the batched obs dict
+(world_robot_pose / world_robot_orientation / depth / semantic12 or rgb +
+not_done_masks + env_name), adds uint8 occupancy_map / semantic_map, and
+deletes the consumed keys (obs_transforms.py:44-51). RedNet inference for
+predicted semantics is fused into the same jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivlnce_tpu.mapping.camera import (
+    CameraParameters,
+    camera_parameters_from_config,
+)
+from ivlnce_tpu.mapping.mapper import (
+    MapperParams,
+    MapperState,
+    init_state,
+    load_points_into_state,
+    mapper_step,
+)
+from ivlnce_tpu.ops.geometry import MapDims
+from ivlnce_tpu.utils.registry import registry
+
+KEYS_TO_DELETE = [
+    "world_robot_orientation",
+    "world_robot_pose",
+    "semantic",
+    "semantic12",
+    "env_name",
+]
+
+
+class Mapper:
+    """Base obs transformer (obs_transforms.py:30-134)."""
+
+    predicted_semantics = False
+    known_maps = False
+    maps_location: Optional[str] = None
+
+    def __init__(
+        self,
+        camera_parameters: CameraParameters,
+        map_dimensions: MapDims,
+        grid_cells: int = 1024,
+        window_cells: int = 192,
+        rednet_params=None,
+        maps_location: Optional[str] = None,
+        known_map_max_points: int = 2 ** 18,
+    ):
+        self.params = MapperParams(
+            camera=camera_parameters,
+            map_height_meters=map_dimensions.height_meters,
+            map_width_meters=map_dimensions.width_meters,
+            resolution_meters=map_dimensions.resolution_meters,
+            grid_cells=grid_cells,
+            window_cells=window_cells,
+        )
+        self.state: Optional[MapperState] = None
+        self.rednet_params = rednet_params
+        if maps_location is not None:
+            self.maps_location = maps_location
+        self.known_map_max_points = known_map_max_points
+        self._loaded_env_names: List[Optional[str]] = []
+        self._known_map_cache: Dict[str, tuple] = {}
+
+    # -- space bookkeeping (obs_transforms.py:53-77) ---------------------------
+    def transform_observation_space(self, observation_space: Dict) -> Dict:
+        dims = self.params.map_dims
+        for key in ("occupancy_map", "semantic_map"):
+            observation_space[key] = {
+                "shape": (dims.num_rows, dims.num_cols),
+                "dtype": np.uint8,
+            }
+        for key in KEYS_TO_DELETE:
+            observation_space.pop(key, None)
+        return observation_space
+
+    # -- lane management ---------------------------------------------------------
+    def _ensure_state(self, batch_size: int):
+        if self.state is None or self.state.height.shape[0] != batch_size:
+            self.state = init_state(batch_size, self.params.grid_cells)
+            self._loaded_env_names = [None] * batch_size
+
+    def delete_batch_idx(self, index: int) -> None:
+        """Drop a paused lane (trainer lane-pausing slices policy memory
+        AND map state, base_il_trainer.py:296-299)."""
+        if self.state is None:
+            return
+        keep = [i for i in range(self.state.height.shape[0]) if i != index]
+        self.state = jax.tree_util.tree_map(
+            lambda a: a[np.asarray(keep)], self.state
+        )
+        del self._loaded_env_names[index]
+
+    def reset(self) -> None:
+        self.state = None
+        self._loaded_env_names = []
+
+    # -- semantics source --------------------------------------------------------
+    def _semantics(self, observations: Dict) -> jnp.ndarray:
+        if self.predicted_semantics:
+            from ivlnce_tpu.models.rednet import predict_semantics
+
+            assert self.rednet_params is not None, (
+                "PredictedSemantics mappers need RedNet params "
+                "(data/rednet_mp3d_best_model.pkl, mapper.py:747)"
+            )
+            return predict_semantics(
+                self.rednet_params,
+                jnp.asarray(observations["rgb"]),
+                jnp.asarray(observations["depth"][..., 0]),
+            )
+        sem = observations["semantic12"]
+        if sem.ndim == 4:
+            sem = sem[..., 0]
+        return jnp.asarray(sem, jnp.uint8)
+
+    # -- known maps ---------------------------------------------------------------
+    def _load_known_map(self, env_name: str):
+        import os
+
+        if env_name not in self._known_map_cache:
+            path = os.path.join(self.maps_location, f"{env_name}.npz")
+            with np.load(path) as f:
+                xyz = np.asarray(f["xyz"], np.float32)
+                sem = np.asarray(f["semantics"], np.uint8)
+            n = min(len(xyz), self.known_map_max_points)
+            xyz_pad = np.zeros((self.known_map_max_points, 3), np.float32)
+            sem_pad = np.zeros((self.known_map_max_points,), np.uint8)
+            xyz_pad[:n] = xyz[:n]
+            sem_pad[:n] = sem[:n]
+            self._known_map_cache[env_name] = (xyz_pad, sem_pad, n)
+        return self._known_map_cache[env_name]
+
+    def _maybe_load_known_maps(self, observations: Dict, masks: np.ndarray):
+        env_names = observations.get("env_name")
+        b = len(masks)
+        lane_mask = np.zeros((b,), bool)
+        xyz = np.zeros((b, self.known_map_max_points, 3), np.float32)
+        sem = np.zeros((b, self.known_map_max_points), np.uint8)
+        counts = np.zeros((b,), np.int32)
+        pose = np.asarray(observations["world_robot_pose"], np.float32)
+        for i in range(b):
+            name = env_names[i] if env_names is not None else None
+            if masks[i] == 0 or self._loaded_env_names[i] != name:
+                x, s, n = self._load_known_map(name)
+                lane_mask[i] = True
+                xyz[i], sem[i], counts[i] = x, s, n
+                self._loaded_env_names[i] = name
+        if lane_mask.any():
+            self.state = load_points_into_state(
+                self.params,
+                self.state,
+                jnp.asarray(lane_mask),
+                jnp.asarray(xyz),
+                jnp.asarray(sem),
+                jnp.asarray(counts),
+                jnp.asarray(pose),
+            )
+
+    # -- forward ---------------------------------------------------------------------
+    def __call__(self, observations: Dict) -> Dict:
+        return self.forward(observations)
+
+    def forward(self, observations: Dict) -> Dict:
+        masks = np.asarray(observations["not_done_masks"]).reshape(-1)
+        b = masks.shape[0]
+        self._ensure_state(b)
+
+        pose = jnp.asarray(observations["world_robot_pose"], jnp.float32)
+        orientation = jnp.asarray(
+            observations["world_robot_orientation"], jnp.float32
+        )
+        depth = jnp.asarray(observations["depth"], jnp.float32)
+        if depth.ndim == 4:
+            depth = depth[..., 0]
+
+        if self.known_maps:
+            self._maybe_load_known_maps(observations, masks)
+            semantics = jnp.zeros(depth.shape, jnp.uint8)
+            update_world = False
+            # known-map lanes never clear on episode boundaries via masks:
+            # reloading handles resets (mapper.py:851-881)
+            step_masks = jnp.ones((b,), jnp.float32)
+        else:
+            semantics = self._semantics(observations)
+            update_world = True
+            step_masks = jnp.asarray(masks, jnp.float32)
+
+        self.state, occupancy, semantic = mapper_step(
+            self.params,
+            self.state,
+            depth,
+            semantics,
+            pose,
+            orientation[:, 0],
+            orientation[:, 1],
+            step_masks,
+            update_world=update_world,
+        )
+        observations["occupancy_map"] = occupancy
+        observations["semantic_map"] = semantic
+        for key in KEYS_TO_DELETE:
+            observations.pop(key, None)
+        return observations
+
+    @classmethod
+    def from_config(cls, config, rednet_params=None, **kwargs):
+        mapper_cfg = config.RL.POLICY.OBS_TRANSFORMS.EGOCENTRIC_MAPPER
+        camera = camera_parameters_from_config(
+            config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR, mapper_cfg
+        )
+        dims = MapDims(
+            mapper_cfg.height_meters,
+            mapper_cfg.width_meters,
+            mapper_cfg.resolution_meters,
+        )
+        if cls.predicted_semantics and rednet_params is None:
+            import os
+
+            from ivlnce_tpu.models.checkpoint_io import load_rednet
+
+            path = "data/rednet_mp3d_best_model.pkl"
+            if os.path.exists(path):
+                rednet_params = load_rednet(path)
+        return cls(
+            camera_parameters=camera,
+            map_dimensions=dims,
+            grid_cells=config.TPU.world_grid_cells,
+            rednet_params=rednet_params,
+            **kwargs,
+        )
+
+
+@registry.register_obs_transformer(name="GTSemanticsIterativeMapper")
+class GTSemanticsIterativeMapper(Mapper):
+    predicted_semantics = False
+    known_maps = False
+
+
+@registry.register_obs_transformer(name="PredictedSemanticsIterativeMapper")
+class PredictedSemanticsIterativeMapper(Mapper):
+    predicted_semantics = True
+    known_maps = False
+
+
+@registry.register_obs_transformer(name="GTSemanticsKnownMapper")
+class GTSemanticsKnownMapper(Mapper):
+    predicted_semantics = False
+    known_maps = True
+    maps_location = "data/known_maps/gt_semantics"
+
+
+@registry.register_obs_transformer(name="PredictedSemanticsKnownMapper")
+class PredictedSemanticsKnownMapper(Mapper):
+    predicted_semantics = True
+    known_maps = True
+    maps_location = "data/known_maps/predicted_semantics"
+
+
+def get_active_obs_transforms(config, rednet_params=None) -> List[Mapper]:
+    """Instantiate RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS
+    (habitat-baselines obs_transformers.get_active_obs_transforms
+    equivalent)."""
+    out = []
+    for name in config.RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS:
+        cls = registry.get_obs_transformer(name)
+        out.append(cls.from_config(config, rednet_params=rednet_params))
+    return out
+
+
+def apply_obs_transforms_batch(batch: Dict, obs_transforms) -> Dict:
+    for transform in obs_transforms:
+        batch = transform(batch)
+    return batch

@@ -1,0 +1,164 @@
+"""Tests for the env layer: FakeSim determinism, shortest-path follower,
+episodic env, and the iterative 7-tuple phase machine (reference protocol
+invariants, SURVEY.md section 3.4)."""
+
+import numpy as np
+import pytest
+
+from ivlnce_tpu.envs.env import VLNCEDaggerEnv, VLNCEIterativeEnv
+from ivlnce_tpu.envs.fake_sim import FakeSim
+from ivlnce_tpu.envs.shortest_path import ShortestPathFollower
+from ivlnce_tpu.envs.sim_api import SimActions
+
+from .helpers import ListDataset, make_tour_episodes, tiny_task_config
+
+
+def test_fake_sim_deterministic():
+    s1 = FakeSim(scene_id="sceneA")
+    s2 = FakeSim(scene_id="sceneA")
+    for s in (s1, s2):
+        s.set_agent_state([1.0, 0.0, 2.0], [0, 0, 0, 1])
+    o1, o2 = s1.render_observations(), s2.render_observations()
+    np.testing.assert_array_equal(o1["depth"], o2["depth"])
+    np.testing.assert_array_equal(o1["rgb"], o2["rgb"])
+    np.testing.assert_array_equal(o1["semantic12"], o2["semantic12"])
+    # different scenes differ
+    s3 = FakeSim(scene_id="sceneB")
+    s3.set_agent_state([1.0, 0.0, 2.0], [0, 0, 0, 1])
+    assert not np.array_equal(
+        s3.render_observations()["depth"], o1["depth"]
+    )
+
+
+def test_fake_sim_motion_geometry():
+    sim = FakeSim(scene_id="sceneA")
+    sim.set_agent_state([0.0, 0.0, 0.0], [0, 0, 0, 1])
+    sim.step(SimActions.MOVE_FORWARD)
+    pos = sim.get_agent_state().position
+    # heading 0 faces -z
+    np.testing.assert_allclose(pos, [0.0, 0.0, -0.25], atol=1e-6)
+    for _ in range(6):  # 90 degrees left
+        sim.step(SimActions.TURN_LEFT)
+    sim.step(SimActions.MOVE_FORWARD)
+    pos = sim.get_agent_state().position
+    np.testing.assert_allclose(pos, [-0.25, 0.0, -0.25], atol=1e-5)
+
+
+def test_follower_reaches_goal():
+    sim = FakeSim(scene_id="sceneA")
+    start = sim.sample_navigable_point()
+    sim.set_agent_state(start, [0, 0, 0, 1])
+    goal = [start[0] + 3.0, 0.0, start[2]]
+    if not sim.is_navigable(goal):
+        goal = sim.sample_navigable_point()
+    follower = ShortestPathFollower(sim, goal_radius=0.25)
+    for _ in range(300):
+        a = follower.get_next_action(goal)
+        if a == SimActions.STOP:
+            break
+        sim.step(a)
+    assert sim.geodesic_distance(sim.get_agent_state().position, goal) <= 0.5
+
+
+def test_episodic_env_runs_expert_to_success():
+    cfg = tiny_task_config()
+    env = VLNCEDaggerEnv(cfg, ListDataset(make_tour_episodes()))
+    obs = env.reset()
+    assert "depth" in obs and "shortest_path_sensor" in obs
+    assert obs["env_name"] == "sceneA"
+    for _ in range(60):
+        a = int(obs["shortest_path_sensor"][0])
+        obs, reward, done, info = env.step(a)
+        if done:
+            break
+    assert done
+    assert info["success"] == 1.0, f"expert failed: {info}"
+    assert info["spl"] > 0.5
+    assert info["steps_taken"] >= 1
+
+
+def test_iterative_env_phase_machine():
+    cfg = tiny_task_config(**{"ENVIRONMENT.ITERATIVE.ENABLED": True})
+    episodes = make_tour_episodes(n_tours=2, eps_per_tour=2)
+    env = VLNCEIterativeEnv(cfg, ListDataset(episodes))
+
+    obs, tour_done, produce_action = env.reset()
+    assert tour_done  # first reset of a session
+    assert produce_action
+
+    seen_phases = set()
+    episodes_finished = 0
+    agent_finishes = 0
+    tours_seen = 1
+    was_agent_phase = True
+    for _ in range(3000):
+        if produce_action:
+            action = int(obs["shortest_path_sensor"][0])
+        else:
+            action = 0  # ignored during oracle phases
+        (
+            obs, reward, agent_done, sim_done, tour_done_s, produce_action,
+            info,
+        ) = env.step(action)
+        seen_phases.add(env._phase)
+        assert tour_done_s is False  # step never reports tour_done
+        # note: the reference (and we) return agent_episode_done=True on
+        # every oracle step (environments.py:305) — count real agent
+        # finishes as the agent-phase exits instead
+        if was_agent_phase and agent_done and env._phase != "agent":
+            agent_finishes += 1
+            assert "dtw_data" in info
+            assert {d["phase"] for d in info["dtw_data"]} >= {"agent"}
+        was_agent_phase = env._phase == "agent"
+        if sim_done:
+            episodes_finished += 1
+            obs, tour_done, produce_action = env.reset()
+            was_agent_phase = env._phase == "agent"
+            if tour_done:
+                tours_seen += 1
+            if episodes_finished >= 4:
+                break
+    assert episodes_finished >= 4
+    assert agent_finishes >= 4
+    assert "oracle_goal" in seen_phases or "oracle_start" in seen_phases
+    assert tours_seen >= 2  # crossed a tour boundary
+
+
+def test_iterative_env_teleport_mode():
+    """ORACLE_PHASES=False: sim_episode_done right at agent done,
+    next reset teleports (environments.py:324-326)."""
+    cfg = tiny_task_config(
+        **{
+            "ENVIRONMENT.ITERATIVE.ENABLED": True,
+            "ENVIRONMENT.ITERATIVE.ORACLE_PHASES": False,
+        }
+    )
+    episodes = make_tour_episodes(n_tours=1, eps_per_tour=3)
+    env = VLNCEIterativeEnv(cfg, ListDataset(episodes))
+    obs, tour_done, produce_action = env.reset()
+    for _ in range(400):
+        a = int(obs["shortest_path_sensor"][0])
+        obs, _, agent_done, sim_done, _, produce_action, info = env.step(a)
+        if agent_done:
+            assert sim_done  # no oracle phases
+            obs, tour_done, produce_action = env.reset()
+            assert produce_action
+            # teleported to this episode's start
+            np.testing.assert_allclose(
+                env._env.sim.get_agent_state().position,
+                env._env.current_episode.start_position,
+                atol=1e-5,
+            )
+            break
+    else:
+        pytest.fail("episode never finished")
+
+
+def test_dtw_data_recorded_before_acting():
+    cfg = tiny_task_config(**{"ENVIRONMENT.ITERATIVE.ENABLED": True})
+    env = VLNCEIterativeEnv(cfg, ListDataset(make_tour_episodes()))
+    obs, _, _ = env.reset()
+    start_pos = list(np.asarray(env._env.sim.get_agent_state().position))
+    env.step(1)
+    assert env.dtw_data[0]["position"] == [float(x) for x in start_pos]
+    assert env.dtw_data[0]["phase"] == "agent"
