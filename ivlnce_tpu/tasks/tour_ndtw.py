@@ -23,6 +23,27 @@ import numpy as np
 from ivlnce_tpu.tasks.dtw import windowed_dtw
 
 
+def _windowed_dtw_dispatch(ap, gtp, alignments) -> float:
+    """Native C++ windowed DTW when available (ivlnce_tpu/native/dtw.cpp),
+    else the vectorized numpy kernel."""
+    from ivlnce_tpu import native
+
+    lib = native.dtw_library()
+    if lib is not None:
+        x = np.ascontiguousarray(ap, np.float64)
+        y = np.ascontiguousarray(gtp, np.float64)
+        aligns = np.ascontiguousarray(alignments, np.int64)
+        return float(
+            lib.dtw_windowed(
+                x, len(x), y, len(y),
+                aligns.ctypes.data if len(aligns) else None,
+                len(aligns),
+            )
+        )
+    window = window_from_alignments(len(ap), len(gtp), alignments)
+    return windowed_dtw(ap, gtp, window)
+
+
 def compute_episodes_per_tour(tours: Dict[str, List]) -> Dict[str, int]:
     eps_per_tour = defaultdict(int)
     for tour_id, path in tours.items():
@@ -116,8 +137,7 @@ def compute_tour_ndtw(
 
         ap = [p["position"] for p in agent_path if p["phase"] == "agent"]
         gtp = [p["position"] for p in gt_path if p["phase"] == "agent"]
-        window = window_from_alignments(len(ap), len(gtp), alignments)
-        dtw_dist = windowed_dtw(ap, gtp, window)
+        dtw_dist = _windowed_dtw_dispatch(ap, gtp, alignments)
         t_ndtws[tour_id] = float(
             np.exp(-dtw_dist / (len(gtp) * success_distance))
         )
