@@ -160,6 +160,22 @@ class RLEnv:
     def habitat_env(self):
         return self._env
 
+    @property
+    def current_episode(self):
+        return self._env.current_episode
+
+    def current_episode_info(self):
+        """Pipe-friendly episode identity (the trainers only consume
+        episode_id / tour_id / instruction text from current_episodes)."""
+        ep = self._env.current_episode
+        return {
+            "episode_id": ep.episode_id,
+            "tour_id": ep.tour_id,
+            "instruction_text": (
+                ep.instruction.instruction_text if ep.instruction else ""
+            ),
+        }
+
     def reset(self):
         return self._env.reset()
 

@@ -93,12 +93,14 @@ class MapperParams(NamedTuple):
 class MapperState(NamedTuple):
     """Per-lane batched world-map state (a single pytree carried across
     steps; lanes reset by mask multiplies like the reference's
-    not_done_masks threading)."""
+    not_done_masks threading).
+
+    The per-cell point payload [x, z, semantic-label] is packed into one
+    f32 tensor so the frame accumulation is a single scatter (see
+    ops/scatter.py packing note)."""
 
     height: jnp.ndarray  # (B, Gr, Gc) f32, -inf = empty cell
-    x: jnp.ndarray  # (B, Gr, Gc) f32 world x of the stored point
-    z: jnp.ndarray  # (B, Gr, Gc) f32 world z
-    sem: jnp.ndarray  # (B, Gr, Gc) uint8 semantic label
+    payload: jnp.ndarray  # (B, Gr, Gc, 3) f32: world x, world z, label
     origin: jnp.ndarray  # (B, 2) i32 world half-res cell of grid [0, 0]
     origin_set: jnp.ndarray  # (B,) bool
 
@@ -107,9 +109,7 @@ def init_state(batch_size: int, grid_cells: int) -> MapperState:
     g = grid_cells
     return MapperState(
         height=jnp.full((batch_size, g, g), -jnp.inf, jnp.float32),
-        x=jnp.zeros((batch_size, g, g), jnp.float32),
-        z=jnp.zeros((batch_size, g, g), jnp.float32),
-        sem=jnp.zeros((batch_size, g, g), jnp.uint8),
+        payload=jnp.zeros((batch_size, g, g, 3), jnp.float32),
         origin=jnp.zeros((batch_size, 2), jnp.int32),
         origin_set=jnp.zeros((batch_size,), bool),
     )
@@ -122,9 +122,7 @@ def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
     keep3 = keep_mask[:, None, None]
     return MapperState(
         height=jnp.where(keep3, state.height, -jnp.inf),
-        x=jnp.where(keep3, state.x, 0.0),
-        z=jnp.where(keep3, state.z, 0.0),
-        sem=jnp.where(keep3, state.sem, jnp.uint8(0)),
+        payload=jnp.where(keep3[..., None], state.payload, 0.0),
         origin=jnp.where(keep_mask[:, None], state.origin, 0),
         origin_set=state.origin_set & keep_mask,
     )
@@ -223,16 +221,13 @@ def _accumulate_frame(
     g = params.grid_cells
     valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
-    new_height, (new_x, new_z, new_sem) = S.scatter_argmax_grid_update(
-        state.height,
-        (state.x, state.z, state.sem),
-        r,
-        c,
-        heights,
-        (pts[:, :, 0], pts[:, :, 2], sem),
-        valid,
+    point_payload = jnp.stack(
+        [pts[:, :, 0], pts[:, :, 2], sem.astype(jnp.float32)], axis=-1
     )
-    return state._replace(height=new_height, x=new_x, z=new_z, sem=new_sem)
+    new_height, new_payload = S.scatter_argmax_grid_update(
+        state.height, state.payload, r, c, heights, point_payload, valid
+    )
+    return state._replace(height=new_height, payload=new_payload)
 
 
 def _rasterize_egocentric(
@@ -259,9 +254,14 @@ def _rasterize_egocentric(
 
     slicer = jax.vmap(slice_lane)
     win_h = slicer(state.height, start_r, start_c).reshape(b, -1)
-    win_x = slicer(state.x, start_r, start_c).reshape(b, -1)
-    win_z = slicer(state.z, start_r, start_c).reshape(b, -1)
-    win_sem = slicer(state.sem, start_r, start_c).reshape(b, -1)
+
+    def slice_payload(arr, sr, sc):
+        return jax.lax.dynamic_slice(arr, (sr, sc, 0), (wcells, wcells, 3))
+
+    win_p = jax.vmap(slice_payload)(state.payload, start_r, start_c)
+    win_p = win_p.reshape(b, -1, 3)
+    win_x, win_z = win_p[:, :, 0], win_p[:, :, 1]
+    win_sem = win_p[:, :, 2].astype(jnp.uint8)
 
     valid = jnp.isfinite(win_h)
     # map-time height filter (mapper.py:884-901)
@@ -336,13 +336,11 @@ def load_points_into_state(
     g = params.grid_cells
     valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
-    new_height, (new_x, new_z, new_sem) = S.scatter_argmax_grid_update(
-        state.height,
-        (state.x, state.z, state.sem),
-        r,
-        c,
-        xyz[:, :, 1],
-        (xyz[:, :, 0], xyz[:, :, 2], sem),
+    point_payload = jnp.stack(
+        [xyz[:, :, 0], xyz[:, :, 2], sem.astype(jnp.float32)], axis=-1
+    )
+    new_height, new_payload = S.scatter_argmax_grid_update(
+        state.height, state.payload, r, c, xyz[:, :, 1], point_payload,
         valid,
     )
-    return state._replace(height=new_height, x=new_x, z=new_z, sem=new_sem)
+    return state._replace(height=new_height, payload=new_payload)

@@ -1,0 +1,752 @@
+"""Base VLN-CE imitation-learning trainer.
+
+Reference: ivlnce_baselines/common/base_il_trainer.py. TPU redesign:
+
+- the policy's act / act_iterative / train-update paths are jitted pure
+  functions over a params pytree; per-step host<->device traffic is one
+  batched obs put and one small action get;
+- the optimizer is optax adam, with the optional 100x-smaller map-encoder
+  learning-rate group (base_il_trainer.py:78-92) via optax.multi_transform;
+- checkpoints are pickled numpy pytrees ({params, config, optim_state,
+  dagger_it, epoch, step_id}, matching the reference dict layout,
+  base_il_trainer.py:143-168); reference torch .pth checkpoints load
+  through models/checkpoint_io.py;
+- eval loops (episodic base_il_trainer.py:313-583, iterative :585-928)
+  keep the reference's control flow, masks, lane pausing, stats JSONs and
+  t-nDTW aggregation.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import numbers
+import os
+import pickle
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ivlnce_tpu.envs.vector_env import construct_envs_auto_reset_false
+from ivlnce_tpu.mapping.obs_transforms import (
+    apply_obs_transforms_batch,
+    get_active_obs_transforms,
+)
+from ivlnce_tpu.models import cma as cma_mod
+from ivlnce_tpu.models.policy import action_logits
+from ivlnce_tpu.tasks.tour_ndtw import compute_tour_ndtw
+from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils.batching import (
+    add_batched_data_to_observations,
+    batch_obs,
+    extract_instruction_tokens,
+)
+from ivlnce_tpu.utils.registry import registry
+from ivlnce_tpu.utils.tb import TensorboardWriter
+
+logger = logging_util.logger
+
+EVAL_METRICS = (
+    "distance_to_goal success spl ndtw path_length oracle_success "
+    "steps_taken".split()
+)
+
+
+def make_train_step(policy, optimizer, use_progress: bool, alpha: float):
+    """Build the un-jitted BPTT train step (inflection-weighted CE +
+    progress-monitor aux, base_il_trainer.py:173-219). The trainer jits it
+    plain; parallel.sharded_train_step jits it over a device mesh — both
+    share this exact compute graph.
+    """
+
+    def loss_fn(params, observations, prev_actions, episode_masks,
+                tour_masks, corrected, weights, rnn_states):
+        t, n = corrected.shape
+        logits, features, rnn_out = policy.build_distribution(
+            params, observations, rnn_states, prev_actions,
+            episode_masks, tour_masks, training=True,
+        )
+        logits = logits.reshape(t, n, -1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        action_loss = -jnp.take_along_axis(
+            logp, corrected[..., None], axis=-1
+        )[..., 0]
+        action_loss = jnp.mean(
+            jnp.sum(weights * action_loss, 0) / jnp.sum(weights, 0)
+        )
+        aux_loss = 0.0
+        if use_progress:
+            p_loss = cma_mod.progress_monitor_loss(
+                params, features, observations["progress"]
+            )
+            aux_mask = (weights > 0).reshape(-1)
+            aux_loss = alpha * jnp.sum(p_loss * aux_mask) / jnp.sum(
+                aux_mask
+            )
+        return action_loss + aux_loss, (action_loss, aux_loss, rnn_out)
+
+    def train_step(params, opt_state, observations, prev_actions,
+                   episode_masks, tour_masks, corrected, weights,
+                   rnn_states):
+        grads, (action_loss, aux_loss, rnn_out) = jax.grad(
+            loss_fn, has_aux=True
+        )(
+            params, observations, prev_actions, episode_masks,
+            tour_masks, corrected, weights, rnn_states,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (
+            params, opt_state, action_loss + aux_loss, action_loss,
+            aux_loss, rnn_out,
+        )
+
+    return train_step
+
+
+class BaseVLNCETrainer:
+    supported_tasks: List[str] = ["VLN-v0"]
+
+    def __init__(self, config=None):
+        self.config = config
+        self.policy = None
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self.obs_transforms = []
+        self.start_epoch = 0
+        self.step_id = 0
+        self.flush_secs = 30
+        self._jit_cache: Dict[str, Any] = {}
+        self._make_dirs()
+
+    # -- dirs ------------------------------------------------------------------
+    def _make_dirs(self) -> None:
+        os.makedirs(self.config.CHECKPOINT_FOLDER, exist_ok=True)
+        if self.config.EVAL.SAVE_RESULTS:
+            os.makedirs(self.config.RESULTS_DIR, exist_ok=True)
+
+    # -- policy / optimizer -------------------------------------------------------
+    def _observation_info(self, config) -> Dict:
+        return {
+            "depth_hw": config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT,
+            "map_hw": int(
+                np.ceil(
+                    config.RL.POLICY.OBS_TRANSFORMS.EGOCENTRIC_MAPPER.height_meters
+                    / config.RL.POLICY.OBS_TRANSFORMS.EGOCENTRIC_MAPPER.resolution_meters
+                )
+            ),
+        }
+
+    def _initialize_policy(self, config, load_from_ckpt: bool) -> None:
+        policy_cls = registry.get_policy(self.config.MODEL.policy_name)
+        self.policy = policy_cls.from_config(
+            config, self._observation_info(config)
+        )
+        # init on the host CPU backend (leaf-by-leaf random ops are
+        # pathologically slow over the axon device tunnel), then ship the
+        # whole tree to the accelerator in one transfer
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = self.policy.init_params(
+                    jax.random.PRNGKey(config.TASK_CONFIG.SEED)
+                )
+        else:
+            params = self.policy.init_params(
+                jax.random.PRNGKey(config.TASK_CONFIG.SEED)
+            )
+        self.params = jax.device_put(params)
+        self._load_external_encoders(config)
+
+        if self.config.MODEL.SEMANTIC_MAP_ENCODER.custom_lr:
+            # map-encoder parameters get their own (100x smaller) lr
+            sem_lr = self.config.MODEL.SEMANTIC_MAP_ENCODER.lr
+
+            def label_fn(params):
+                return {
+                    k: ("map" if k == "map_encoder" else "regular")
+                    for k in params
+                }
+
+            self.optimizer = optax.multi_transform(
+                {
+                    "map": optax.adam(sem_lr),
+                    "regular": optax.adam(self.config.IL.lr),
+                },
+                label_fn,
+            )
+        else:
+            self.optimizer = optax.adam(self.config.IL.lr)
+        # one fused compile: leaf-by-leaf dispatch is pathological over the
+        # axon tunnel (hundreds of tiny device ops)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+
+        if load_from_ckpt:
+            ckpt_path = config.IL.ckpt_to_load
+            ckpt_dict = self.load_checkpoint(ckpt_path)
+            self.params = _merge_loaded_params(self.params, ckpt_dict["params"])
+            if config.IL.is_requeue and "optim_state" in ckpt_dict:
+                self.opt_state = ckpt_dict["optim_state"]
+                self.start_epoch = ckpt_dict["epoch"] + 1
+                self.step_id = ckpt_dict["step_id"]
+            logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
+
+        n_params = sum(
+            x.size for x in jax.tree_util.tree_leaves(self.params)
+        )
+        logger.info(f"Agent parameters: {n_params}.")
+        self._jit_cache = {}
+
+    def _load_external_encoders(self, config) -> None:
+        """Frozen external weights: DDPPO depth, torchvision RGB, map
+        encoder checkpoint (resnet_encoders.py:48-61, map_encoder.py:62-70).
+        Missing files are tolerated (random init) since this environment
+        has no reference data."""
+        from ivlnce_tpu.models import checkpoint_io as cio
+
+        ddppo = config.MODEL.DEPTH_ENCODER.ddppo_checkpoint
+        if ddppo != "NONE" and os.path.exists(ddppo):
+            enc = cio.load_ddppo_depth_encoder(ddppo)
+            self.params["depth_encoder"]["visual_encoder"] = cio.merge_params(
+                self.params["depth_encoder"]["visual_encoder"], enc
+            )
+            logger.info(f"Loaded DDPPO depth encoder: {ddppo}")
+        sm = config.MODEL.SEMANTIC_MAP_ENCODER
+        if sm.from_pretrained and os.path.exists(sm.checkpoint):
+            self.params["map_encoder"] = cio.merge_params(
+                self.params["map_encoder"], cio.load_map_encoder(sm.checkpoint)
+            )
+            logger.info(f"Loaded map encoder: {sm.checkpoint}")
+
+    # -- checkpoints -----------------------------------------------------------------
+    def save_checkpoint(
+        self, file_name: str, dagger_it: int = 0, epoch: int = 0,
+        step_id: int = 0,
+    ) -> None:
+        payload = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "config": self.config.to_dict(),
+            "optim_state": jax.tree_util.tree_map(
+                np.asarray, self.opt_state
+            ),
+            "dagger_it": dagger_it,
+            "epoch": epoch,
+            "step_id": step_id,
+        }
+        path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_checkpoint(self, checkpoint_path: str) -> Dict:
+        """Load our pickle checkpoints or reference torch .pth files."""
+        with open(checkpoint_path, "rb") as f:
+            head = f.read(2)
+        if head == b"PK" or _is_torch_file(checkpoint_path):
+            from ivlnce_tpu.models.checkpoint_io import (
+                load_reference_policy_checkpoint,
+            )
+
+            return load_reference_policy_checkpoint(checkpoint_path)
+        with open(checkpoint_path, "rb") as f:
+            return pickle.load(f)
+
+    # -- jit caches -------------------------------------------------------------------
+    def _act_fn(self, iterative: bool):
+        key = f"act_{iterative}"
+        if key not in self._jit_cache:
+            policy = self.policy
+            if iterative:
+                def fn(params, obs, rnn, prev, am, sm, tm, act_m):
+                    return policy.act_iterative(
+                        params, obs, rnn, prev, am, sm, tm, act_m,
+                        deterministic=True,
+                    )
+            else:
+                def fn(params, obs, rnn, prev, masks):
+                    return policy.act(
+                        params, obs, rnn, prev, masks, deterministic=True
+                    )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _train_step_fn(self):
+        if "train_step" not in self._jit_cache:
+            self._jit_cache["train_step"] = jax.jit(
+                make_train_step(
+                    self.policy,
+                    self.optimizer,
+                    self.config.MODEL.PROGRESS_MONITOR.use,
+                    self.config.MODEL.PROGRESS_MONITOR.alpha,
+                )
+            )
+        return self._jit_cache["train_step"]
+
+    def _update_agent(
+        self,
+        observations: Dict[str, np.ndarray],
+        prev_actions: np.ndarray,
+        not_done_masks: np.ndarray,
+        corrected_actions: np.ndarray,
+        weights: np.ndarray,
+        tour_not_done_masks: Optional[np.ndarray] = None,
+        rnn_states=None,
+    ) -> Tuple[float, float, float, Any]:
+        """One BPTT update over a (T, N) batch (base_il_trainer.py:173-219).
+        rnn_states carry enables tour-ordered truncated BPTT
+        (iterative_dagger_trainer.py:33-94)."""
+        t, n = corrected_actions.shape
+        if rnn_states is None:
+            rnn_states = self.policy.initial_rnn_states(n)
+        if tour_not_done_masks is None:
+            tour_not_done_masks = not_done_masks
+        step = self._train_step_fn()
+        (
+            self.params, self.opt_state, loss, action_loss, aux_loss, rnn_out,
+        ) = step(
+            self.params,
+            self.opt_state,
+            observations,
+            jnp.asarray(prev_actions),
+            jnp.asarray(not_done_masks, jnp.float32),
+            jnp.asarray(tour_not_done_masks, jnp.float32),
+            jnp.asarray(corrected_actions, jnp.int32),
+            jnp.asarray(weights, jnp.float32),
+            rnn_states,
+        )
+        return float(loss), float(action_loss), float(aux_loss), rnn_out
+
+    # -- lane pausing -----------------------------------------------------------------
+    def _pause_envs(self, envs_to_pause, envs, *arrays, batch=None,
+                    rgb_frames=None):
+        if len(envs_to_pause) > 0:
+            state_index = list(range(envs.num_envs))
+            for idx in reversed(envs_to_pause):
+                state_index.pop(idx)
+                envs.pause_at(idx)
+            keep = np.asarray(state_index)
+            arrays = tuple(np.asarray(a)[keep] for a in arrays)
+            if batch is not None:
+                for k, v in batch.items():
+                    if isinstance(v, list):
+                        batch[k] = [v[i] for i in state_index]
+                    else:
+                        batch[k] = np.asarray(v)[keep]
+            if rgb_frames is not None:
+                rgb_frames = [rgb_frames[i] for i in state_index]
+            # slice mapper state (base_il_trainer.py:296-299)
+            for transform in self.obs_transforms:
+                for idx in reversed(envs_to_pause):
+                    transform.delete_batch_idx(idx)
+        return (envs,) + arrays + (batch, rgb_frames)
+
+    # -- eval entry point (habitat BaseTrainer semantics) ------------------------------
+    def eval(self) -> None:
+        os.makedirs(self.config.TENSORBOARD_DIR, exist_ok=True)
+        with TensorboardWriter(
+            self.config.TENSORBOARD_DIR, flush_secs=self.flush_secs
+        ) as writer:
+            ckpt_dir = self.config.EVAL_CKPT_PATH_DIR
+            if os.path.isfile(ckpt_dir):
+                ckpt_index = 0
+                with contextlib.suppress(Exception):
+                    ckpt_index = int(ckpt_dir.split(".")[-2])
+                self._eval_checkpoint(ckpt_dir, writer, ckpt_index)
+            else:
+                ckpts = sorted(
+                    (
+                        f
+                        for f in os.listdir(ckpt_dir)
+                        if f.startswith("ckpt.")
+                    ),
+                    key=lambda f: int(f.split(".")[1]),
+                )
+                for f in ckpts:
+                    idx = int(f.split(".")[1])
+                    self._eval_checkpoint(
+                        os.path.join(ckpt_dir, f), writer, idx
+                    )
+
+    def inference(self) -> None:
+        raise NotImplementedError
+
+    # -- episodic eval (base_il_trainer.py:313-583) --------------------------------------
+    def _eval_checkpoint(
+        self,
+        checkpoint_path: str,
+        writer,
+        checkpoint_index: int = 0,
+        metrics: Optional[List[str]] = None,
+    ) -> None:
+        if metrics is None:
+            metrics = list(EVAL_METRICS)
+
+        with contextlib.suppress(Exception):
+            checkpoint_index = int(checkpoint_path.split(".")[-2])
+
+        start_from = self.config.EVAL.START_FROM
+        if 0 <= start_from > checkpoint_index:
+            logger.info(f"skipping ckpt: starting from {start_from}.")
+            return
+
+        logger.info(f"checkpoint_path: {checkpoint_path}")
+        config = self.config.clone()
+        config.TASK_CONFIG.DATASET.SPLIT = config.EVAL.SPLIT
+        config.TASK_CONFIG.DATASET.ROLES = ["guide"]
+        config.TASK_CONFIG.DATASET.LANGUAGES = config.EVAL.LANGUAGES
+        config.TASK_CONFIG.TASK.NDTW.SPLIT = config.EVAL.SPLIT
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = -1
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE_TOURS = False
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE_EPISODES = False
+        config.IL.ckpt_to_load = checkpoint_path
+        config.freeze()
+
+        if config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENABLED:
+            self._eval_checkpoint_iterative(
+                config, writer=writer, checkpoint_index=checkpoint_index
+            )
+            return
+
+        split = config.TASK_CONFIG.DATASET.SPLIT
+        if config.EVAL.SAVE_RESULTS:
+            fname = os.path.join(
+                config.RESULTS_DIR,
+                f"stats_ckpt_{checkpoint_index}_{split}.json",
+            )
+            if os.path.exists(fname):
+                logger.info("skipping -- evaluation exists.")
+                return
+
+        env_class = registry.get_env(config.ENV_NAME)
+        envs = construct_envs_auto_reset_false(config, env_class)
+        self.obs_transforms = get_active_obs_transforms(config)
+        self._initialize_policy(config, load_from_ckpt=True)
+        act = self._act_fn(iterative=False)
+
+        rnn_states = self.policy.initial_rnn_states(envs.num_envs)
+        prev_actions = np.zeros((envs.num_envs, 1), np.int64)
+        not_done_masks = np.zeros((envs.num_envs, 1), np.uint8)
+
+        observations = envs.reset()
+        observations = extract_instruction_tokens(observations)
+        observations = add_batched_data_to_observations(
+            observations, not_done_masks, "not_done_masks"
+        )
+        batch = batch_obs(observations)
+        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        stats_episodes: Dict[str, Dict] = {}
+        episodes_to_eval = sum(envs.count_episodes())
+        if config.EVAL.EPISODE_COUNT > -1:
+            episodes_to_eval = min(
+                config.EVAL.EPISODE_COUNT, episodes_to_eval
+            )
+
+        start_time = time.time()
+        while envs.num_envs > 0 and len(stats_episodes) < episodes_to_eval:
+            current_episodes = self._current_episode_info(envs)
+
+            out = act(
+                self.params, _device_batch(batch), rnn_states,
+                prev_actions, not_done_masks,
+            )
+            rnn_states = out.rnn_states
+            actions = np.asarray(out.actions)
+            prev_actions = actions
+
+            outputs = envs.step([int(a[0]) for a in actions])
+            observations, _, dones, infos = (list(x) for x in zip(*outputs))
+
+            not_done_masks = np.array(
+                [[0] if done else [1] for done in dones], np.uint8
+            )
+            for i in range(envs.num_envs):
+                if not dones[i]:
+                    continue
+                stats_episodes[current_episodes[i]["episode_id"]] = {
+                    k: infos[i][k] for k in metrics if k in infos[i]
+                }
+                observations[i] = envs.reset_at(i)
+                prev_actions[i] = 0
+                logger.info(
+                    f"[Ckpt: {checkpoint_index}] episodes evaluated: "
+                    f"{len(stats_episodes)}/{episodes_to_eval} "
+                    f"({round(time.time() - start_time)}s)"
+                )
+
+            observations = extract_instruction_tokens(observations)
+            observations = add_batched_data_to_observations(
+                observations, not_done_masks, "not_done_masks"
+            )
+            batch = batch_obs(observations)
+            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+            next_episodes = self._current_episode_info(envs)
+            envs_to_pause = [
+                i
+                for i in range(envs.num_envs)
+                if next_episodes[i]["episode_id"] in stats_episodes
+            ]
+            (
+                envs, rnn_states, not_done_masks, prev_actions, batch, _,
+            ) = self._pause_envs(
+                envs_to_pause, envs, rnn_states, not_done_masks,
+                prev_actions, batch=batch,
+            )
+
+        envs.close()
+
+        aggregated_stats = {}
+        num_episodes = max(len(stats_episodes), 1)
+        if stats_episodes:
+            for stat_key in next(iter(stats_episodes.values())).keys():
+                aggregated_stats[stat_key] = (
+                    sum(v[stat_key] for v in stats_episodes.values())
+                    / num_episodes
+                )
+
+        if config.EVAL.SAVE_RESULTS:
+            fname = os.path.join(
+                config.RESULTS_DIR,
+                f"stats_ckpt_{checkpoint_index}_{split}.json",
+            )
+            with open(fname, "w") as f:
+                json.dump(aggregated_stats, f, indent=4)
+
+        logger.info(f"Episodes evaluated: {num_episodes}")
+        for k, v in aggregated_stats.items():
+            logger.info(f"Average episode {k}: {v:.6f}")
+            writer.add_scalar(f"eval_{split}_{k}", v, checkpoint_index + 1)
+        return aggregated_stats
+
+    # -- iterative eval (base_il_trainer.py:585-928) --------------------------------------
+    def _eval_checkpoint_iterative(
+        self, config, writer, checkpoint_index: int = 0
+    ):
+        if "Iterative" not in config.ENV_NAME:
+            config = config.clone()
+            config.ENV_NAME = config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENV_NAME
+            config.freeze()
+
+        split = config.TASK_CONFIG.DATASET.SPLIT
+        if config.EVAL.SAVE_RESULTS:
+            fname = os.path.join(
+                config.RESULTS_DIR,
+                f"iterative_stats_ckpt_{checkpoint_index}_{split}.json",
+            )
+            if os.path.exists(fname):
+                logger.info("skipping -- evaluation exists.")
+                return
+
+        # reference reads the trainer's own config here, not the eval clone
+        map_reset = self.config.EVAL.ITERATIVE_MAP_RESET
+        assert map_reset in ["episodic", "iterative"], (
+            "config.EVAL.ITERATIVE_MAP_RESET not valid"
+        )
+
+        env_class = registry.get_env(config.ENV_NAME)
+        envs = construct_envs_auto_reset_false(config, env_class)
+        self.obs_transforms = get_active_obs_transforms(config)
+        self._initialize_policy(config, load_from_ckpt=True)
+        act = self._act_fn(iterative=True)
+
+        rnn_states = self.policy.initial_rnn_states(envs.num_envs)
+        prev_actions = np.zeros((envs.num_envs, 1), np.int64)
+        agent_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        sim_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        tour_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        action_masks = np.ones((envs.num_envs, 1), np.uint8)
+
+        observations, _, _ = (list(x) for x in zip(*envs.reset()))
+        observations = extract_instruction_tokens(observations)
+        reset_masks = agent_masks if map_reset == "episodic" else tour_masks
+        observations = add_batched_data_to_observations(
+            observations, reset_masks, "not_done_masks"
+        )
+        batch = batch_obs(observations)
+        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        stats_tours: Dict[str, Dict] = defaultdict(dict)
+        dtw_data: Dict[str, List] = defaultdict(list)
+        episodes_evaluated = 0
+        episodes_to_eval = sum(envs.count_episodes())
+        if config.EVAL.EPISODE_COUNT > -1:
+            episodes_to_eval = min(
+                config.EVAL.EPISODE_COUNT, episodes_to_eval
+            )
+        start_time = time.time()
+
+        while envs.num_envs > 0:
+            current_episodes = self._current_episode_info(envs)
+            out = act(
+                self.params, _device_batch(batch), rnn_states, prev_actions,
+                agent_masks, sim_masks, tour_masks, action_masks,
+            )
+            rnn_states = out.rnn_states
+            actions = np.asarray(out.actions)
+            prev_actions = actions
+
+            outputs = envs.step([int(a[0]) for a in actions])
+            (
+                observations, _, agent_dones, sim_dones, tour_dones,
+                produce_actions, infos,
+            ) = (list(x) for x in zip(*outputs))
+
+            agent_masks = np.array(
+                [[0] if d else [1] for d in agent_dones], np.uint8
+            )
+            sim_masks = np.array(
+                [[0] if d else [1] for d in sim_dones], np.uint8
+            )
+            tour_masks = np.array(
+                [[0] if d else [1] for d in tour_dones], np.uint8
+            )
+            action_masks = np.array(
+                [[int(p)] for p in produce_actions], np.uint8
+            )
+
+            for i in range(envs.num_envs):
+                if not agent_dones[i]:
+                    continue
+                ep_id = current_episodes[i]["episode_id"]
+                tour_id = current_episodes[i]["tour_id"]
+                if ep_id not in stats_tours[tour_id] and len(infos[i]) > 1:
+                    episodes_evaluated += 1
+                    stats_tours[tour_id][ep_id] = {
+                        k: v
+                        for k, v in infos[i].items()
+                        if isinstance(v, numbers.Number)
+                    }
+                    logger.info(
+                        f"[Ckpt: {checkpoint_index}] episodes evaluated: "
+                        f"{episodes_evaluated}/{episodes_to_eval} "
+                        f"({round(time.time() - start_time)}s)"
+                    )
+
+                if not sim_dones[i]:
+                    continue
+                if "dtw_data" in infos[i]:
+                    dtw_data[tour_id].extend(infos[i]["dtw_data"])
+
+                observations[i], tour_done, produce_action = envs.reset_at(i)
+                tour_masks[i] = int(not tour_done)
+                action_masks[i] = int(produce_action)
+                prev_actions[i] = 0
+
+            observations = extract_instruction_tokens(observations)
+            reset_masks = (
+                agent_masks if map_reset == "episodic" else tour_masks
+            )
+            observations = add_batched_data_to_observations(
+                observations, reset_masks, "not_done_masks"
+            )
+            batch = batch_obs(observations)
+            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+            next_episodes = self._current_episode_info(envs)
+            envs_to_pause = []
+            for i in range(envs.num_envs):
+                if not sim_dones[i]:
+                    continue
+                tour_id = next_episodes[i]["tour_id"]
+                if next_episodes[i]["episode_id"] in stats_tours[tour_id]:
+                    envs_to_pause.append(i)
+            (
+                envs, rnn_states, agent_masks, sim_masks, tour_masks,
+                action_masks, prev_actions, batch, _,
+            ) = self._pause_envs(
+                envs_to_pause, envs, rnn_states, agent_masks, sim_masks,
+                tour_masks, action_masks, prev_actions, batch=batch,
+            )
+
+        envs.close()
+
+        fname = os.path.join(
+            config.RESULTS_DIR, f"dtw_data_ckpt_{checkpoint_index}_{split}.json"
+        )
+        with open(fname, "w") as f:
+            json.dump(dtw_data, f, indent=2)
+        fname = os.path.join(
+            config.RESULTS_DIR,
+            f"iterative_all_stats_ckpt_{checkpoint_index}_{split}.json",
+        )
+        with open(fname, "w") as f:
+            json.dump(stats_tours, f, indent=2)
+
+        aggregated_stats: Dict[str, float] = defaultdict(float)
+        for stats_episodes in stats_tours.values():
+            for stat_key in next(iter(stats_episodes.values())).keys():
+                aggregated_stats[stat_key] += sum(
+                    v.get(stat_key, 0.0) for v in stats_episodes.values()
+                )
+        episodes_evaluated = sum(len(v) for v in stats_tours.values())
+        for stat_key in aggregated_stats:
+            aggregated_stats[stat_key] /= max(episodes_evaluated, 1)
+
+        if os.path.exists(config.EVAL.ITERATIVE_GT_PATHS):
+            with open(config.EVAL.ITERATIVE_GT_PATHS, "r") as f:
+                gt_paths = json.load(f)
+            aggregated_stats["tndtw"] = compute_tour_ndtw(
+                agent_paths=dtw_data,
+                gt_paths=gt_paths[split],
+                success_distance=config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE,
+            )
+        else:
+            logger.warning(
+                "no iterative GT paths file at "
+                f"{config.EVAL.ITERATIVE_GT_PATHS}; skipping t-nDTW"
+            )
+
+        if config.EVAL.SAVE_RESULTS:
+            fname = os.path.join(
+                config.RESULTS_DIR,
+                f"iterative_stats_ckpt_{checkpoint_index}_{split}.json",
+            )
+            with open(fname, "w") as f:
+                json.dump(aggregated_stats, f, indent=4)
+
+        logger.info(f"Episodes evaluated: {episodes_evaluated}")
+        for k, v in aggregated_stats.items():
+            logger.info(f"Average episode {k}: {v:.6f}")
+            writer.add_scalar(f"eval_{split}_{k}", v, checkpoint_index + 1)
+        return dict(aggregated_stats)
+
+    # -- helpers -----------------------------------------------------------------------
+    @staticmethod
+    def _current_episode_info(envs) -> List[Dict]:
+        """episode_id / tour_id of each lane's current episode."""
+        return envs.call(["current_episode_info"] * envs.num_envs)
+
+
+def _device_batch(batch: Dict) -> Dict:
+    """Strip non-array entries before crossing into jit."""
+    return {
+        k: v
+        for k, v in batch.items()
+        if not isinstance(v, list) or not isinstance(v[0], str)
+    }
+
+
+def _is_torch_file(path: str) -> bool:
+    try:
+        import zipfile
+
+        return zipfile.is_zipfile(path)
+    except Exception:
+        return False
+
+
+def _merge_loaded_params(target, loaded):
+    """Structural merge tolerant of numpy arrays from checkpoints."""
+    from ivlnce_tpu.models.checkpoint_io import merge_params
+
+    return merge_params(target, loaded)

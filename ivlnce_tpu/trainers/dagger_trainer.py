@@ -1,0 +1,502 @@
+"""DAgger / teacher-forcing trainer.
+
+Reference: ivlnce_baselines/trainers/dagger_trainer.py. Collection rolls
+out the policy with beta = p^iter expert mixing, stores frozen-encoder
+FEATURES instead of pixels (the reference steals them via forward hooks,
+dagger_trainer.py:301-323; we jit explicit encoder passes and feed them
+back through the obs dict so the act path reuses them), persists built
+maps and drops their source keys (:438-459), and writes per-episode
+msgpack records into the trajectory store. Training replays length-sorted
+block-shuffled trajectories as (T, N) padded batches through the jitted
+BPTT update.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ivlnce_tpu.envs.vector_env import construct_envs
+from ivlnce_tpu.mapping.obs_transforms import (
+    apply_obs_transforms_batch,
+    get_active_obs_transforms,
+)
+from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer, _device_batch
+from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
+from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils.batching import (
+    add_batched_data_to_observations,
+    batch_obs,
+    extract_instruction_tokens,
+)
+from ivlnce_tpu.utils.registry import registry
+from ivlnce_tpu.utils.tb import TensorboardWriter
+
+logger = logging_util.logger
+
+
+def _block_shuffle(lst: List, block_size: int) -> List:
+    blocks = [
+        lst[i:i + block_size] for i in range(0, len(lst), block_size)
+    ]
+    random.shuffle(blocks)
+    return [ele for block in blocks for ele in block]
+
+
+def _pad_to(arr: np.ndarray, max_len: int, fill_val=0) -> np.ndarray:
+    pad = max_len - arr.shape[0]
+    if pad == 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill_val, arr.dtype)
+    return np.concatenate([arr, pad_block], 0)
+
+
+def collate_fn(batch: List[Tuple]) -> Tuple:
+    """Pad T and flatten T-major (dagger_trainer.py:42-117). Padded obs
+    fill value is 1.0 like the reference."""
+    obs_list, prev_list, corr_list, weight_list = zip(*batch)
+    n = len(batch)
+    max_t = max(p.shape[0] for p in prev_list)
+
+    obs_out: Dict[str, np.ndarray] = {}
+    for sensor in obs_list[0]:
+        stacked = np.stack(
+            [_pad_to(np.asarray(o[sensor]), max_t, 1.0) for o in obs_list],
+            axis=1,
+        )  # (T, N, ...)
+        obs_out[sensor] = stacked.reshape((-1,) + stacked.shape[2:])
+
+    prev_actions = np.stack(
+        [_pad_to(np.asarray(p), max_t) for p in prev_list], 1
+    )
+    corrected = np.stack(
+        [_pad_to(np.asarray(c), max_t) for c in corr_list], 1
+    )
+    weights = np.stack(
+        [_pad_to(np.asarray(w), max_t) for w in weight_list], 1
+    )
+    not_done_masks = np.ones_like(corrected, np.uint8)
+    not_done_masks[0] = 0
+
+    return (
+        obs_out,
+        prev_actions.reshape(-1, 1),
+        not_done_masks.reshape(-1, 1),
+        corrected,
+        weights,
+    )
+
+
+class IWTrajectoryDataset:
+    """Inflection-weighted trajectory stream (dagger_trainer.py:127-234):
+    block-shuffled load order, preload window sorted by length then
+    re-block-shuffled so batches have similar T."""
+
+    def __init__(
+        self,
+        store_path: str,
+        use_iw: bool,
+        inflection_weight_coef: float = 1.0,
+        batch_size: int = 1,
+    ):
+        self.store_path = store_path
+        self.batch_size = batch_size
+        self.preload_size = batch_size * 100
+        self._preload: List = []
+        if use_iw:
+            self.inflec_weights = np.array([1.0, inflection_weight_coef])
+        else:
+            self.inflec_weights = np.array([1.0, 1.0])
+        with TrajectoryStore(store_path) as store:
+            self.length = store.count()
+            # key 0 holds the tours index after iterative collection
+            # (iterative_collection_dagger_trainer.py:377-385)
+            self.start = 1 if self._has_tours_index(store) else 0
+
+    @staticmethod
+    def _has_tours_index(store) -> bool:
+        try:
+            v = store.get(0)
+            return isinstance(v, dict) and "tours_to_idxs" in v
+        except KeyError:
+            return False
+
+    def __iter__(self) -> Iterator:
+        self.load_ordering = list(
+            reversed(
+                _block_shuffle(
+                    list(range(self.start, self.length)), self.preload_size
+                )
+            )
+        )
+        self._store = TrajectoryStore(self.store_path)
+        self._preload = []
+        return self
+
+    def _load_next(self):
+        if len(self._preload) == 0:
+            if len(self.load_ordering) == 0:
+                self._store.close()
+                raise StopIteration
+            new_preload = []
+            lengths = []
+            for _ in range(self.preload_size):
+                if len(self.load_ordering) == 0:
+                    break
+                new_preload.append(
+                    self._store.get(self.load_ordering.pop())
+                )
+                lengths.append(len(new_preload[-1][1]))
+
+            sort_priority = list(range(len(lengths)))
+            random.shuffle(sort_priority)
+            sorted_ordering = sorted(
+                range(len(lengths)),
+                key=lambda k: (lengths[k], sort_priority[k]),
+            )
+            for idx in _block_shuffle(sorted_ordering, self.batch_size):
+                self._preload.append(new_preload[idx])
+        return self._preload.pop()
+
+    def __next__(self):
+        obs, prev_actions, oracle_actions = self._load_next()
+        obs = {k: np.asarray(v) for k, v in obs.items()}
+        prev_actions = np.asarray(prev_actions)
+        oracle_actions = np.asarray(oracle_actions)
+        inflections = np.concatenate(
+            [[1], (oracle_actions[1:] != oracle_actions[:-1]).astype(np.int64)]
+        )
+        return (
+            obs,
+            prev_actions,
+            oracle_actions,
+            self.inflec_weights[inflections],
+        )
+
+    def batches(self) -> Iterator[Tuple]:
+        """Yield collated full batches (drop_last=True like the
+        reference's DataLoader)."""
+        it = iter(self)
+        while True:
+            samples = []
+            try:
+                for _ in range(self.batch_size):
+                    samples.append(next(it))
+            except StopIteration:
+                return
+            yield collate_fn(samples)
+
+
+@registry.register_trainer(name="dagger")
+class DaggerTrainer(BaseVLNCETrainer):
+    def __init__(self, config=None):
+        self.lmdb_features_dir = config.IL.DAGGER.lmdb_features_dir.format(
+            split=config.TASK_CONFIG.DATASET.SPLIT
+        )
+        super().__init__(config)
+
+    def _make_dirs(self) -> None:
+        import os
+
+        super()._make_dirs()
+        os.makedirs(self.lmdb_features_dir, exist_ok=True)
+
+    # -- feature caching -----------------------------------------------------------
+    def _encode_features_fn(self):
+        if "encode_features" not in self._jit_cache:
+            cfg = self.config.MODEL
+            has_rgb = (
+                cfg.policy_name == "LatentCMAPolicy"
+                and not cfg.RGB_ENCODER.trainable
+            )
+            cache_depth = not cfg.DEPTH_ENCODER.trainable
+
+            def fn(params, obs):
+                from ivlnce_tpu.models import resnet as RN
+
+                out = {}
+                if cache_depth and "depth" in obs:
+                    out["depth_features"] = RN.apply_vln_depth_encoder(
+                        params["depth_encoder"], obs["depth"]
+                    )
+                if has_rgb and "rgb" in obs:
+                    out["rgb_features"] = (
+                        RN.apply_torchvision_resnet50_spatial(
+                            params["rgb_encoder"], obs["rgb"]
+                        )
+                    )
+                return out
+
+            self._jit_cache["encode_features"] = jax.jit(fn)
+        return self._jit_cache["encode_features"]
+
+    # -- collection (dagger_trainer.py:251-504) ---------------------------------------
+    def _update_dataset(self, data_it: int, save_tour_idx_data: bool = False):
+        config = self.config
+        env_class = registry.get_env(config.ENV_NAME)
+        envs = construct_envs(config, env_class)
+        expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
+
+        act = self._act_sample_fn()
+        encode = self._encode_features_fn()
+
+        rnn_states = self.policy.initial_rnn_states(envs.num_envs)
+        prev_actions = np.zeros((envs.num_envs, 1), np.int64)
+        not_done_masks = np.zeros((envs.num_envs, 1), np.uint8)
+
+        observations = envs.reset()
+        observations = extract_instruction_tokens(observations)
+        observations = add_batched_data_to_observations(
+            observations, not_done_masks, "not_done_masks"
+        )
+        batch = batch_obs(observations)
+        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        episodes: List[List] = [[] for _ in range(envs.num_envs)]
+        skips = np.zeros(envs.num_envs, bool)
+        dones = [False for _ in range(envs.num_envs)]
+
+        p = config.IL.DAGGER.p
+        beta = 0.0 if p == 0.0 else p ** data_it
+        ensure_unique_episodes = beta == 1.0
+
+        rng = np.random.default_rng(config.TASK_CONFIG.SEED + data_it)
+        rng_key = jax.random.PRNGKey(config.TASK_CONFIG.SEED + data_it)
+
+        collected_eps = 0
+        ep_ids_collected = None
+        if ensure_unique_episodes:
+            ep_ids_collected = {
+                info["episode_id"]
+                for info in self._current_episode_info(envs)
+            }
+
+        store = TrajectoryStore(self.lmdb_features_dir, writable=True)
+        start_id = store.count()
+        commit_freq = config.IL.DAGGER.lmdb_commit_frequency
+
+        while collected_eps < config.IL.DAGGER.update_size:
+            current_episodes = None
+            envs_to_pause = []
+            if ensure_unique_episodes:
+                current_episodes = self._current_episode_info(envs)
+
+            for i in range(envs.num_envs):
+                if dones[i] and not skips[i]:
+                    ep = episodes[i]
+                    traj_obs = batch_obs(
+                        [step[0] for step in ep], ignore_keys=set()
+                    )
+                    traj_obs.pop(expert_uuid, None)
+                    if config.IL.DAGGER.lmdb_fp16:
+                        for k, v in traj_obs.items():
+                            if v.dtype == np.float32:
+                                traj_obs[k] = v.astype(np.float16)
+                    record = [
+                        traj_obs,
+                        np.array([s[1] for s in ep], np.int64),
+                        np.array([s[2] for s in ep], np.int64),
+                    ]
+                    store.put(start_id + collected_eps, record)
+                    collected_eps += 1
+                    if collected_eps % commit_freq == 0:
+                        store.sync()
+                    if ensure_unique_episodes:
+                        if (
+                            current_episodes[i]["episode_id"]
+                            in ep_ids_collected
+                        ):
+                            envs_to_pause.append(i)
+                        else:
+                            ep_ids_collected.add(
+                                current_episodes[i]["episode_id"]
+                            )
+                if dones[i]:
+                    episodes[i] = []
+
+            if ensure_unique_episodes:
+                (
+                    envs, rnn_states, not_done_masks, prev_actions, batch, _,
+                ) = self._pause_envs(
+                    envs_to_pause, envs, rnn_states, not_done_masks,
+                    prev_actions, batch=batch,
+                )
+                if envs.num_envs == 0:
+                    break
+
+            features = encode(self.params, _device_batch(batch))
+            features = {k: np.asarray(v) for k, v in features.items()}
+            act_batch = dict(batch)
+            act_batch.update(features)
+
+            rng_key, sub = jax.random.split(rng_key)
+            out = act(
+                self.params, _device_batch(act_batch), rnn_states,
+                prev_actions, not_done_masks, sub,
+            )
+            rnn_states = out.rnn_states
+            actions = np.asarray(out.actions)
+
+            expert_actions = np.asarray(batch[expert_uuid]).reshape(-1, 1)
+            mix = rng.random(actions.shape) < beta
+            actions = np.where(mix, expert_actions.astype(actions.dtype),
+                               actions)
+
+            for i in range(envs.num_envs):
+                step_obs = dict(observations[i])
+                if "depth_features" in features:
+                    step_obs["depth_features"] = features["depth_features"][i]
+                    step_obs.pop("depth", None)
+                if "rgb_features" in features:
+                    step_obs["rgb_features"] = features["rgb_features"][i]
+                    step_obs.pop("rgb", None)
+
+                map_k_sum = int("occupancy_map" in batch) + int(
+                    "semantic_map" in batch
+                )
+                if map_k_sum == 1:
+                    raise RuntimeError(
+                        "either both map keys should exist in the batch or "
+                        "neither"
+                    )
+                if map_k_sum == 2:
+                    for k in ["occupancy_map", "semantic_map"]:
+                        step_obs[k] = np.asarray(batch[k][i])
+                    for k in [
+                        "semantic", "semantic12", "world_robot_pose",
+                        "world_robot_orientation", "env_name", "rgb",
+                    ]:
+                        step_obs.pop(k, None)
+                step_obs.pop("not_done_masks", None)
+
+                episodes[i].append(
+                    (
+                        step_obs,
+                        int(prev_actions[i, 0]),
+                        int(expert_actions[i, 0]),
+                    )
+                )
+
+            skips = (expert_actions.reshape(-1) == -1)
+            actions = np.where(skips[:, None], 0, actions)
+            prev_actions = actions
+
+            outputs = envs.step([int(a[0]) for a in actions])
+            observations, _, dones, _ = (list(x) for x in zip(*outputs))
+            not_done_masks = np.array(
+                [[0] if d else [1] for d in dones], np.uint8
+            )
+            observations = extract_instruction_tokens(observations)
+            observations = add_batched_data_to_observations(
+                observations, not_done_masks, "not_done_masks"
+            )
+            batch = batch_obs(observations)
+            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        store.sync()
+        store.close()
+        envs.close()
+        logger.info(f"collected {collected_eps} episodes (beta={beta:.3f})")
+
+    def _act_sample_fn(self):
+        if "act_sample" not in self._jit_cache:
+            policy = self.policy
+
+            def fn(params, obs, rnn, prev, masks, key):
+                return policy.act(
+                    params, obs, rnn, prev, masks, rng_key=key,
+                    deterministic=False,
+                )
+
+            self._jit_cache["act_sample"] = jax.jit(fn)
+        return self._jit_cache["act_sample"]
+
+    # -- training (dagger_trainer.py:506-649) --------------------------------------------
+    def train(self) -> None:
+        import os
+
+        config = self.config
+        if config.IL.DAGGER.preload_lmdb_features:
+            store = TrajectoryStore(self.lmdb_features_dir)
+            assert store.count() > 0, (
+                "Cannot open database for teacher forcing preload."
+            )
+            store.close()
+        else:
+            TrajectoryStore.drop(self.lmdb_features_dir)
+
+        config = config.clone()
+        eps = config.IL.DAGGER.expert_policy_sensor
+        if eps not in config.TASK_CONFIG.TASK.SENSORS:
+            config.TASK_CONFIG.TASK.SENSORS.append(eps)
+        if config.IL.DAGGER.p == 1.0:
+            config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = -1
+        config.freeze()
+        self.config = config
+
+        self.obs_transforms = get_active_obs_transforms(config)
+        self._initialize_policy(config, config.IL.load_from_ckpt)
+
+        os.makedirs(config.TENSORBOARD_DIR, exist_ok=True)
+        with TensorboardWriter(
+            config.TENSORBOARD_DIR, flush_secs=self.flush_secs
+        ) as writer:
+            for dagger_it in range(config.IL.DAGGER.iterations):
+                step_id = 0
+                if not config.IL.DAGGER.preload_lmdb_features:
+                    self._update_dataset(
+                        dagger_it + (1 if config.IL.load_from_ckpt else 0)
+                    )
+
+                dataset = IWTrajectoryDataset(
+                    self.lmdb_features_dir,
+                    config.IL.use_iw,
+                    inflection_weight_coef=config.IL.inflection_weight_coef,
+                    batch_size=config.IL.batch_size,
+                )
+                for epoch in range(config.IL.epochs):
+                    for batch in dataset.batches():
+                        (
+                            observations, prev_actions, not_done_masks,
+                            corrected, weights,
+                        ) = batch
+                        loss, action_loss, aux_loss, _ = self._update_agent(
+                            {
+                                k: v.astype(np.float32)
+                                if v.dtype == np.float16
+                                else v
+                                for k, v in observations.items()
+                            },
+                            prev_actions,
+                            not_done_masks,
+                            corrected,
+                            weights,
+                        )
+                        logger.info(
+                            f"train_loss: {loss:.4f} action: "
+                            f"{action_loss:.4f} aux: {aux_loss:.4f} "
+                            f"(dagger {dagger_it} epoch {epoch} "
+                            f"batch {step_id})"
+                        )
+                        writer.add_scalar(
+                            f"train_loss_iter_{dagger_it}", loss, step_id
+                        )
+                        writer.add_scalar(
+                            f"train_action_loss_iter_{dagger_it}",
+                            action_loss, step_id,
+                        )
+                        writer.add_scalar(
+                            f"train_aux_loss_iter_{dagger_it}",
+                            aux_loss, step_id,
+                        )
+                        step_id += 1
+
+                    self.save_checkpoint(
+                        f"ckpt.{dagger_it * config.IL.epochs + epoch}.pth",
+                        dagger_it=dagger_it,
+                        epoch=epoch,
+                        step_id=step_id,
+                    )

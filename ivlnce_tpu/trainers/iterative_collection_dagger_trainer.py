@@ -1,0 +1,255 @@
+"""DAgger with iterative (tour-ordered) collection.
+
+Reference: ivlnce_baselines/trainers/iterative_collection_dagger_trainer.py.
+Maps build iteratively across tours during collection (the env is the
+7-tuple phase machine; map reset masks are TOUR masks), oracle-phase
+steps are excluded from saved trajectories via action_masks (:319-341),
+and a tours_to_idxs index lands at store key 0 (:377-385). Training stays
+episodic (inherits DaggerTrainer.train).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ivlnce_tpu.envs.vector_env import construct_envs
+from ivlnce_tpu.mapping.obs_transforms import apply_obs_transforms_batch
+from ivlnce_tpu.trainers.base_trainer import _device_batch
+from ivlnce_tpu.trainers.dagger_trainer import DaggerTrainer
+from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
+from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils.batching import (
+    add_batched_data_to_observations,
+    batch_obs,
+    extract_instruction_tokens,
+)
+from ivlnce_tpu.utils.registry import registry
+
+logger = logging_util.logger
+
+
+@registry.register_trainer(name="iterative_collection_dagger")
+class IterativeCollectionDaggerTrainer(DaggerTrainer):
+    def _act_iterative_sample_fn(self):
+        if "act_iter_sample" not in self._jit_cache:
+            policy = self.policy
+
+            def fn(params, obs, rnn, prev, am, sm, tm, act_m, key):
+                return policy.act_iterative(
+                    params, obs, rnn, prev, am, sm, tm, act_m,
+                    rng_key=key, deterministic=False,
+                )
+
+            self._jit_cache["act_iter_sample"] = jax.jit(fn)
+        return self._jit_cache["act_iter_sample"]
+
+    def _save_episode(self, store, episode, lmdb_idx, expert_uuid):
+        traj_obs = batch_obs([s[0] for s in episode], ignore_keys=set())
+        traj_obs.pop(expert_uuid, None)
+        if self.config.IL.DAGGER.lmdb_fp16:
+            for k, v in traj_obs.items():
+                if v.dtype == np.float32:
+                    traj_obs[k] = v.astype(np.float16)
+        store.put(
+            lmdb_idx,
+            [
+                traj_obs,
+                np.array([s[1] for s in episode], np.int64),
+                np.array([s[2] for s in episode], np.int64),
+            ],
+        )
+
+    def _update_dataset(
+        self, data_it: int, save_tour_idx_data: bool = False
+    ) -> Optional[Dict[str, List[int]]]:
+        config = self.config
+        env_class = registry.get_env(config.ENV_NAME)
+        envs = construct_envs(config, env_class)
+        expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
+
+        act = self._act_iterative_sample_fn()
+        encode = self._encode_features_fn()
+
+        rnn_states = self.policy.initial_rnn_states(envs.num_envs)
+        prev_actions = np.zeros((envs.num_envs, 1), np.int64)
+        agent_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        sim_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        tour_masks = np.zeros((envs.num_envs, 1), np.uint8)
+        action_masks = np.ones((envs.num_envs, 1), np.uint8)
+
+        observations, _, _ = (list(x) for x in zip(*envs.reset()))
+        observations = extract_instruction_tokens(observations)
+        observations = add_batched_data_to_observations(
+            observations, tour_masks, "not_done_masks"
+        )
+        batch = batch_obs(observations)
+        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        episodes: List[List] = [[] for _ in range(envs.num_envs)]
+        skips = np.zeros(envs.num_envs, bool)
+        sim_episode_dones = [False for _ in range(envs.num_envs)]
+
+        p = config.IL.DAGGER.p
+        beta = 0.0 if p == 0.0 else p ** data_it
+        ensure_unique_episodes = beta == 1.0
+
+        rng = np.random.default_rng(config.TASK_CONFIG.SEED + data_it)
+        rng_key = jax.random.PRNGKey(config.TASK_CONFIG.SEED + data_it)
+
+        collected_eps = 0
+        ep_ids_collected = None
+        if ensure_unique_episodes:
+            ep_ids_collected = {
+                info["episode_id"]
+                for info in self._current_episode_info(envs)
+            }
+
+        store = TrajectoryStore(self.lmdb_features_dir, writable=True)
+        start_id = store.count()
+        tours_to_idxs: Dict[str, List[int]] = defaultdict(list)
+        if save_tour_idx_data:
+            if start_id:
+                tours_to_idxs = defaultdict(
+                    list, store.get(0)["tours_to_idxs"]
+                )
+            else:
+                start_id += 1
+
+        while collected_eps < config.IL.DAGGER.update_size:
+            current_episodes = None
+            envs_to_pause = []
+            if ensure_unique_episodes:
+                current_episodes = self._current_episode_info(envs)
+
+            for i in range(envs.num_envs):
+                if not sim_episode_dones[i]:
+                    continue
+                if skips[i] or not episodes[i]:
+                    episodes[i] = []
+                    continue
+                lmdb_idx = start_id + collected_eps
+                self._save_episode(store, episodes[i], lmdb_idx, expert_uuid)
+                tour_id = str(episodes[i][0][3])
+                tours_to_idxs[tour_id].append(lmdb_idx)
+                collected_eps += 1
+                store.sync()
+
+                if ensure_unique_episodes:
+                    if current_episodes[i]["episode_id"] in ep_ids_collected:
+                        envs_to_pause.append(i)
+                    else:
+                        ep_ids_collected.add(
+                            current_episodes[i]["episode_id"]
+                        )
+                episodes[i] = []
+
+            if ensure_unique_episodes:
+                (
+                    envs, rnn_states, agent_masks, sim_masks, tour_masks,
+                    action_masks, prev_actions, batch, _,
+                ) = self._pause_envs(
+                    envs_to_pause, envs, rnn_states, agent_masks, sim_masks,
+                    tour_masks, action_masks, prev_actions, batch=batch,
+                )
+                if envs.num_envs == 0:
+                    break
+
+            features = encode(self.params, _device_batch(batch))
+            features = {k: np.asarray(v) for k, v in features.items()}
+            act_batch = dict(batch)
+            act_batch.update(features)
+
+            rng_key, sub = jax.random.split(rng_key)
+            out = act(
+                self.params, _device_batch(act_batch), rnn_states,
+                prev_actions, agent_masks, sim_masks, tour_masks,
+                action_masks, sub,
+            )
+            rnn_states = out.rnn_states
+            actions = np.asarray(out.actions)
+
+            expert_actions = np.asarray(batch[expert_uuid]).reshape(-1, 1)
+            mix = rng.random(actions.shape) < beta
+            actions = np.where(
+                mix, expert_actions.astype(actions.dtype), actions
+            )
+
+            episode_infos = self._current_episode_info(envs)
+            for i in range(envs.num_envs):
+                # only record agent-phase steps (oracle steps excluded,
+                # iterative_collection_dagger_trainer.py:319-322)
+                if not action_masks[i, 0]:
+                    continue
+                step_obs = dict(observations[i])
+                if "depth_features" in features:
+                    step_obs["depth_features"] = features["depth_features"][i]
+                    step_obs.pop("depth", None)
+                if "rgb_features" in features:
+                    step_obs["rgb_features"] = features["rgb_features"][i]
+                step_obs.pop("rgb", None)
+
+                if "occupancy_map" in batch and "semantic_map" in batch:
+                    for k in ["occupancy_map", "semantic_map"]:
+                        step_obs[k] = np.asarray(batch[k][i])
+                    for k in [
+                        "semantic", "semantic12", "world_robot_pose",
+                        "world_robot_orientation", "env_name",
+                    ]:
+                        step_obs.pop(k, None)
+                step_obs.pop("not_done_masks", None)
+
+                episodes[i].append(
+                    (
+                        step_obs,
+                        int(prev_actions[i, 0]),
+                        int(expert_actions[i, 0]),
+                        episode_infos[i]["tour_id"],
+                    )
+                )
+
+            skips = expert_actions.reshape(-1) == -1
+            actions = np.where(skips[:, None], 0, actions)
+            prev_actions = actions
+
+            outputs = envs.step([int(a[0]) for a in actions])
+            (
+                observations, _, agent_dones, sim_episode_dones, tour_dones,
+                produce_actions, _,
+            ) = (list(x) for x in zip(*outputs))
+
+            agent_masks = np.array(
+                [[0] if d else [1] for d in agent_dones], np.uint8
+            )
+            sim_masks = np.array(
+                [[0] if d else [1] for d in sim_episode_dones], np.uint8
+            )
+            tour_masks = np.array(
+                [[0] if d else [1] for d in tour_dones], np.uint8
+            )
+            action_masks = np.array(
+                [[int(p)] for p in produce_actions], np.uint8
+            )
+
+            observations = extract_instruction_tokens(observations)
+            observations = add_batched_data_to_observations(
+                observations, tour_masks, "not_done_masks"
+            )
+            batch = batch_obs(observations)
+            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
+
+        if save_tour_idx_data:
+            store.put(0, {"tours_to_idxs": dict(tours_to_idxs)})
+        store.sync()
+        store.close()
+        envs.close()
+        logger.info(
+            f"collected {collected_eps} episodes across "
+            f"{len(tours_to_idxs)} tours (beta={beta:.3f})"
+        )
+        if save_tour_idx_data:
+            return dict(tours_to_idxs)
+        return None

@@ -198,7 +198,7 @@ def test_ddppo_resnet_encoder_matches_torch_replica(rng):
 
 
 def test_torchvision_resnet50_trunk_matches(rng):
-    import torchvision
+    torchvision = pytest.importorskip("torchvision")
 
     torch.manual_seed(4)
     tm = torchvision.models.resnet50(weights=None).eval()

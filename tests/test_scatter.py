@@ -79,10 +79,9 @@ def test_scatter_argmax_grid_update_incremental_equals_batch(rng):
     """Streaming points into the grid must equal a single brute-force pass
     (this is the property that makes the world grid replace the reference's
     concat + re-dedup, mapper.py:844-847)."""
-    B, R, C = 2, 16, 16
+    B, R, C, P = 2, 16, 16, 2
     grid_key = np.full((B, R, C), -np.inf, np.float32)
-    grid_sem = np.zeros((B, R, C), np.int32)
-    grid_x = np.zeros((B, R, C), np.float32)
+    grid_payload = np.zeros((B, R, C, P), np.float32)
 
     all_pts = []
     for _ in range(3):  # three "frames"
@@ -90,23 +89,20 @@ def test_scatter_argmax_grid_update_incremental_equals_batch(rng):
         rows = rng.integers(0, R, size=(B, n)).astype(np.int32)
         cols = rng.integers(0, C, size=(B, n)).astype(np.int32)
         keys = rng.normal(size=(B, n)).astype(np.float32)
-        sem = rng.integers(0, 13, size=(B, n)).astype(np.int32)
-        xs = rng.normal(size=(B, n)).astype(np.float32)
+        payload = rng.normal(size=(B, n, P)).astype(np.float32)
         valid = rng.random((B, n)) > 0.2
-        all_pts.append((rows, cols, keys, sem, xs, valid))
-        grid_key, (grid_sem, grid_x) = jax.tree_util.tree_map(
+        all_pts.append((rows, cols, keys, payload, valid))
+        grid_key, grid_payload = jax.tree_util.tree_map(
             np.asarray,
             S.scatter_argmax_grid_update(
-                grid_key, (grid_sem, grid_x), rows, cols, keys,
-                (sem, xs), valid,
+                grid_key, grid_payload, rows, cols, keys, payload, valid
             ),
         )
 
     # brute force over the full stream
     ref_key = np.full((B, R, C), -np.inf, np.float32)
-    ref_sem = np.zeros((B, R, C), np.int32)
-    ref_x = np.zeros((B, R, C), np.float32)
-    for rows, cols, keys, sem, xs, valid in all_pts:
+    ref_payload = np.zeros((B, R, C, P), np.float32)
+    for rows, cols, keys, payload, valid in all_pts:
         for b in range(B):
             for i in range(rows.shape[1]):
                 if not valid[b, i]:
@@ -114,12 +110,10 @@ def test_scatter_argmax_grid_update_incremental_equals_batch(rng):
                 r, c = rows[b, i], cols[b, i]
                 if keys[b, i] > ref_key[b, r, c]:
                     ref_key[b, r, c] = keys[b, i]
-                    ref_sem[b, r, c] = sem[b, i]
-                    ref_x[b, r, c] = xs[b, i]
+                    ref_payload[b, r, c] = payload[b, i]
 
     np.testing.assert_allclose(grid_key, ref_key)
-    np.testing.assert_array_equal(grid_sem, ref_sem)
-    np.testing.assert_allclose(grid_x, ref_x)
+    np.testing.assert_allclose(grid_payload, ref_payload)
 
 
 def test_rasterize_argmax(rng):
