@@ -1,0 +1,370 @@
+#!/usr/bin/env python3
+"""Headline benchmark: MapCMA observation->action pipeline steps/sec/chip.
+
+Measures the full per-env-step device pipeline of the flagship model
+(reference call stack SURVEY.md section 3.3): depth frame -> pointcloud ->
+world-grid scatter-argmax -> egocentric occupancy+semantic rasterize ->
+DDPPO depth ResNet -> map CNN -> instruction bi-LSTM -> CMA GRU policy ->
+action. Batch = 4 lanes (the reference's NUM_ENVIRONMENTS for MapCMA).
+
+``vs_baseline`` compares against the same architecture implemented with
+torch.nn modules (the reference's stack: torch conv/LSTM/GRU + a
+scatter_reduce(amax) mapper) run in this image. Torch here is CPU-only, so
+the ratio is TPU-chip vs host-CPU; the reference's own GPU numbers are not
+reproducible in this environment (BASELINE.md).
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 4  # lanes (reference NUM_ENVIRONMENTS for MapCMA)
+DEPTH_HW = 256
+MAP_HW = 64
+TOKENS = 80
+TPU_ITERS = 60
+TORCH_ITERS = 4
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# -----------------------------------------------------------------------------
+# TPU pipeline
+# -----------------------------------------------------------------------------
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ivlnce_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.mapping import camera as cam
+    from ivlnce_tpu.mapping import mapper as M
+    from ivlnce_tpu.models.policy import MapCMAPolicy
+
+    config = get_config().clone()
+    config.defrost()
+    config.MODEL.policy_name = "MapCMAPolicy"
+    config.freeze()
+
+    policy = MapCMAPolicy.from_config(
+        config, {"depth_hw": DEPTH_HW, "map_hw": MAP_HW}
+    )
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = policy.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+
+    mp = M.MapperParams(
+        camera=cam.CameraParameters(
+            vertical_fov_radians=cam.vertical_fov_radians(
+                90.0, DEPTH_HW, DEPTH_HW
+            ),
+            features_spatial_dimensions=(DEPTH_HW, DEPTH_HW),
+            height_clip=0.1,
+        ),
+        map_height_meters=6.4,
+        map_width_meters=6.4,
+        resolution_meters=0.1,
+        grid_cells=1024,
+        window_cells=192,
+    )
+    mstate = M.init_state(B, mp.grid_cells)
+
+    def make_obs(i):
+        return dict(
+            depth=jnp.asarray(
+                rng.random((B, DEPTH_HW, DEPTH_HW), np.float32) * 0.5 + 0.05
+            ),
+            semantics=jnp.asarray(
+                rng.integers(0, 14, size=(B, DEPTH_HW, DEPTH_HW)).astype(
+                    np.uint8
+                )
+            ),
+            pose=jnp.asarray(
+                rng.normal(size=(B, 3)).astype(np.float32) * 2.0
+            ),
+            elevation=jnp.zeros((B,), jnp.float32),
+            heading=jnp.asarray(
+                rng.random((B,)).astype(np.float32) * 6.28
+            ),
+            instruction=jnp.asarray(
+                np.concatenate(
+                    [
+                        rng.integers(1, 2000, size=(B, TOKENS // 2)),
+                        np.zeros((B, TOKENS - TOKENS // 2), np.int64),
+                    ],
+                    axis=1,
+                ).astype(np.int32)
+            ),
+        )
+
+    @jax.jit
+    def step(params, mstate, rnn, prev, obs):
+        masks = jnp.ones((B,), jnp.float32)
+        mstate, occ, sem_map = M.mapper_step(
+            mp,
+            mstate,
+            obs["depth"],
+            obs["semantics"],
+            obs["pose"],
+            obs["elevation"],
+            obs["heading"],
+            masks,
+        )
+        pobs = {
+            "depth": obs["depth"][..., None],
+            "instruction": obs["instruction"],
+            "occupancy_map": occ,
+            "semantic_map": sem_map,
+        }
+        out = policy.act(
+            params, pobs, rnn, prev, masks[:, None], deterministic=True
+        )
+        return mstate, out.rnn_states, out.actions
+
+    rnn = policy.initial_rnn_states(B)
+    prev = jnp.zeros((B, 1), jnp.int32)
+    obs = make_obs(0)
+
+    t0 = time.time()
+    mstate, rnn, actions = step(params, mstate, rnn, prev, obs)
+    jax.block_until_ready(actions)
+    log(f"tpu compile+first step: {time.time() - t0:.1f}s")
+
+    # warmup a few executions
+    for _ in range(3):
+        mstate, rnn, actions = step(params, mstate, rnn, actions, obs)
+    jax.block_until_ready(actions)
+
+    t0 = time.time()
+    for _ in range(TPU_ITERS):
+        mstate, rnn, actions = step(params, mstate, rnn, actions, obs)
+    jax.block_until_ready(actions)
+    dt = time.time() - t0
+    sps = B * TPU_ITERS / dt
+    log(f"tpu: {TPU_ITERS} steps x {B} lanes in {dt:.2f}s = {sps:.1f} steps/s")
+    return sps
+
+
+# -----------------------------------------------------------------------------
+# torch-CPU baseline (reference architecture: torch conv/LSTM/GRU stack)
+# -----------------------------------------------------------------------------
+def bench_torch() -> float:
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    torch.set_grad_enabled(False)
+
+    class GNBottleneck(nn.Module):
+        def __init__(self, inp, planes, stride, ng=16):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Conv2d(inp, planes, 1, bias=False),
+                nn.GroupNorm(ng, planes),
+                nn.ReLU(True),
+                nn.Conv2d(planes, planes, 3, stride, 1, bias=False),
+                nn.GroupNorm(ng, planes),
+                nn.ReLU(True),
+                nn.Conv2d(planes, planes * 4, 1, bias=False),
+                nn.GroupNorm(ng, planes * 4),
+            )
+            self.down = (
+                nn.Sequential(
+                    nn.Conv2d(inp, planes * 4, 1, stride, bias=False),
+                    nn.GroupNorm(ng, planes * 4),
+                )
+                if stride != 1 or inp != planes * 4
+                else None
+            )
+
+        def forward(self, x):
+            idn = x if self.down is None else self.down(x)
+            return torch.relu(self.net(x) + idn)
+
+    def gn_resnet50(in_ch=1, base=32):
+        layers = [
+            nn.Conv2d(in_ch, base, 7, 2, 3, bias=False),
+            nn.GroupNorm(16, base),
+            nn.ReLU(True),
+            nn.MaxPool2d(3, 2, 1),
+        ]
+        inp = base
+        for si, (planes, blocks) in enumerate(
+            zip([base, base * 2, base * 4, base * 8], [3, 4, 6, 3])
+        ):
+            for bi in range(blocks):
+                s = (1 if si == 0 else 2) if bi == 0 else 1
+                layers.append(GNBottleneck(inp, planes, s))
+                inp = planes * 4
+        layers += [
+            nn.Conv2d(inp, 128, 3, 1, 1, bias=False),
+            nn.GroupNorm(1, 128),
+            nn.ReLU(True),
+        ]
+        return nn.Sequential(*layers)
+
+    depth_net = gn_resnet50().eval()
+    map_net = nn.Sequential(
+        *[
+            m
+            for i, (ci, co) in enumerate(
+                zip([14, 32, 64, 128], [32, 64, 128, 128])
+            )
+            for m in (
+                nn.Conv2d(ci, co, 7, 1, 3),
+                nn.BatchNorm2d(co),
+                nn.ReLU(True),
+                nn.AvgPool2d(2),
+            )
+        ]
+    ).eval()
+    embed = nn.Embedding(2504, 50)
+    lstm = nn.LSTM(50, 128, bidirectional=True, batch_first=True)
+    gru1 = nn.GRUCell(128 + 256 + 32, 512)
+    gru2 = nn.GRUCell(512, 512)
+    dep_lin = nn.Linear(192 * 16, 128)
+    map_lin = nn.Linear(128 * 16, 256)
+    compress = nn.Linear(512 + 128 + 256 + 256 + 32, 512)
+    head = nn.Linear(512, 4)
+    act_emb = nn.Embedding(5, 32)
+    dep_kv = nn.Conv1d(192, 256 + 128, 1)
+    map_kv = nn.Conv1d(128, 256 + 256, 1)
+    text_k = nn.Conv1d(256, 256, 1)
+    state_q = nn.Linear(512, 256)
+    text_q = nn.Linear(256, 256)
+
+    G = 1024
+    grid_h = torch.full((B, G * G), -1e30)
+    grid_sem = torch.zeros((B, G * G), dtype=torch.int64)
+
+    rng = np.random.default_rng(0)
+    depth = torch.from_numpy(
+        rng.random((B, 1, DEPTH_HW, DEPTH_HW), dtype=np.float32) * 0.5 + 0.05
+    )
+    sem = torch.from_numpy(
+        rng.integers(0, 14, size=(B, DEPTH_HW * DEPTH_HW))
+    )
+    tokens = torch.from_numpy(
+        rng.integers(1, 2000, size=(B, TOKENS))
+    )
+    # precomputed unprojection rays (camera intrinsics), as the reference
+    # precomputes per-pixel scaling (projector/core.py:79-115)
+    rays = torch.from_numpy(
+        rng.normal(size=(3, DEPTH_HW * DEPTH_HW)).astype(np.float32)
+    )
+
+    h1 = torch.zeros(B, 512)
+    h2 = torch.zeros(B, 512)
+    prev = torch.zeros(B, dtype=torch.int64)
+
+    def step():
+        nonlocal h1, h2, prev, grid_h, grid_sem
+        # --- mapper: unproject + world transform + scatter amax dedup
+        pts = depth.reshape(B, 1, -1) * 10.0 * rays.unsqueeze(0)
+        rot = torch.eye(4).expand(B, 4, 4)
+        ptsh = torch.cat([pts, torch.ones(B, 1, pts.shape[-1])], 1)
+        world = torch.bmm(rot, ptsh)[:, :3]
+        cells = (
+            (world[:, 0].clamp(-25.5, 25.5) / 0.05).round().long() + 512
+        ).clamp(0, G - 1) * G + (
+            (world[:, 2].clamp(-25.5, 25.5) / 0.05).round().long() + 512
+        ).clamp(0, G - 1)
+        grid_h = grid_h.scatter_reduce(
+            1, cells, world[:, 1], reduce="amax", include_self=True
+        )
+        grid_sem = grid_sem.scatter(1, cells, sem)
+        # egocentric window rasterize (192^2 window -> 64^2 maps)
+        win = grid_h.reshape(B, G, G)[:, 416:608, 416:608].reshape(B, -1)
+        occ = torch.zeros(B, MAP_HW * MAP_HW)
+        wcells = torch.randint(0, MAP_HW * MAP_HW, (B, win.shape[1]))
+        occ = occ.scatter(1, wcells, (win > -1e29).float())
+        sem_map = torch.zeros(B, MAP_HW * MAP_HW, dtype=torch.int64).scatter(
+            1, wcells, grid_sem.reshape(B, G, G)[:, 416:608, 416:608]
+            .reshape(B, -1)
+        )
+        # --- encoders
+        dfeat = depth_net(torch.nn.functional.avg_pool2d(depth, 2))
+        dfeat = dfeat.reshape(B, 192, -1)
+        onehot = torch.nn.functional.one_hot(
+            sem_map.reshape(B, MAP_HW, MAP_HW).clamp(0, 12), 13
+        ).permute(0, 3, 1, 2).float()
+        mapin = torch.cat(
+            [occ.reshape(B, 1, MAP_HW, MAP_HW), onehot], 1
+        )
+        mfeat = map_net(mapin).reshape(B, 128, -1)
+        txt, _ = lstm(embed(tokens))
+        txt = txt.permute(0, 2, 1)  # (B, 256, T)
+        # --- CMA recurrent step
+        pa = act_emb(prev + 1)
+        din = torch.relu(dep_lin(dfeat.reshape(B, -1)))
+        min_ = torch.relu(map_lin(mfeat.reshape(B, -1)))
+        h1 = gru1(torch.cat([din, min_, pa], 1), h1)
+        q = state_q(h1)
+        att = torch.softmax(
+            torch.einsum("nc,nct->nt", q, text_k(txt)), -1
+        )
+        temb = torch.einsum("nt,nct->nc", att, txt)
+        tq = text_q(temb)
+        dk = dep_kv(dfeat)
+        mk = map_kv(mfeat)
+        da = torch.einsum(
+            "nt,nct->nc",
+            torch.softmax(torch.einsum("nc,nct->nt", tq, dk[:, :256]), -1),
+            dk[:, 256:],
+        )
+        ma = torch.einsum(
+            "nt,nct->nc",
+            torch.softmax(torch.einsum("nc,nct->nt", tq, mk[:, :256]), -1),
+            mk[:, 256:],
+        )
+        x = torch.relu(compress(torch.cat([h1, temb, da, ma, pa], 1)))
+        h2 = gru2(x, h2)
+        prev = head(h2).argmax(-1)
+
+    step()  # warmup
+    t0 = time.time()
+    for _ in range(TORCH_ITERS):
+        step()
+    dt = time.time() - t0
+    sps = B * TORCH_ITERS / dt
+    log(
+        f"torch-cpu: {TORCH_ITERS} steps x {B} lanes in {dt:.2f}s"
+        f" = {sps:.1f} steps/s"
+    )
+    return sps
+
+
+def main():
+    tpu_sps = bench_tpu()
+    try:
+        torch_sps = bench_torch()
+    except Exception as e:  # torch baseline is best-effort
+        log(f"torch baseline failed: {e}")
+        torch_sps = None
+    vs = tpu_sps / torch_sps if torch_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
+                "value": round(tpu_sps, 2),
+                "unit": "env steps/s (B=4 lanes; mapper+encoders+policy)",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,10 @@ Must set env vars before jax initializes, hence module-level code here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the environment ships JAX_PLATFORMS=axon (the
+# TPU tunnel) and a sitecustomize that registers that backend; tests must
+# run on the virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize's axon register() overrides jax_platforms directly; win
+# the override war by setting the config (takes precedence over env).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
