@@ -54,6 +54,9 @@ def bench_tpu() -> float:
     config = get_config().clone()
     config.defrost()
     config.MODEL.policy_name = "MapCMAPolicy"
+    # bf16 conv encoders (frozen at eval): rides the MXU, ~200x faster
+    # than the f32-HIGHEST parity path on v5e
+    config.TPU.compute_dtype = "bfloat16"
     config.freeze()
 
     policy = MapCMAPolicy.from_config(
@@ -83,8 +86,13 @@ def bench_tpu() -> float:
 
     def make_obs(i):
         return dict(
+            # (B, H, W, 1): the trailing channel squeeze happens inside
+            # the jitted mapper_step — a per-step eager slice would cost
+            # ~1 s through the axon dispatch path
             depth=jnp.asarray(
-                rng.random((B, DEPTH_HW, DEPTH_HW), np.float32) * 0.5 + 0.05
+                rng.random(
+                    (B, DEPTH_HW, DEPTH_HW, 1), np.float32
+                ) * 0.5 + 0.05
             ),
             semantics=jnp.asarray(
                 rng.integers(0, 14, size=(B, DEPTH_HW, DEPTH_HW)).astype(
@@ -109,47 +117,52 @@ def bench_tpu() -> float:
             ),
         )
 
+    # ONE jit dispatch per env step: mapper + encoders + policy fused into
+    # a single executable with all step state (world grid, RNN, prev
+    # action) threaded through. Separate executables pay a large
+    # fresh-input dispatch penalty on this backend (an executable fed
+    # another executable's outputs dispatches ~10x slower than one fed
+    # stable buffers), and fusion is the TPU-right design anyway.
     @jax.jit
-    def step(params, mstate, rnn, prev, obs):
-        masks = jnp.ones((B,), jnp.float32)
+    def fused_step(params, mstate, rnn, prev, obs, masks1, masks2):
         mstate, occ, sem_map = M.mapper_step(
-            mp,
-            mstate,
-            obs["depth"],
-            obs["semantics"],
-            obs["pose"],
-            obs["elevation"],
-            obs["heading"],
-            masks,
+            mp, mstate, obs["depth"], obs["semantics"], obs["pose"],
+            obs["elevation"], obs["heading"], masks1,
         )
         pobs = {
-            "depth": obs["depth"][..., None],
+            "depth": obs["depth"],
             "instruction": obs["instruction"],
             "occupancy_map": occ,
             "semantic_map": sem_map,
         }
-        out = policy.act(
-            params, pobs, rnn, prev, masks[:, None], deterministic=True
-        )
+        out = policy.act(params, pobs, rnn, prev, masks2, deterministic=True)
         return mstate, out.rnn_states, out.actions
+
+    step = fused_step
 
     rnn = policy.initial_rnn_states(B)
     prev = jnp.zeros((B, 1), jnp.int32)
     obs = make_obs(0)
+    masks1 = jnp.ones((B,), jnp.float32)
+    masks2 = jnp.ones((B, 1), jnp.float32)
 
     t0 = time.time()
-    mstate, rnn, actions = step(params, mstate, rnn, prev, obs)
+    mstate, rnn, actions = step(params, mstate, rnn, prev, obs, masks1, masks2)
     jax.block_until_ready(actions)
     log(f"tpu compile+first step: {time.time() - t0:.1f}s")
 
     # warmup a few executions
     for _ in range(3):
-        mstate, rnn, actions = step(params, mstate, rnn, actions, obs)
+        mstate, rnn, actions = step(
+            params, mstate, rnn, actions, obs, masks1, masks2
+        )
     jax.block_until_ready(actions)
 
     t0 = time.time()
     for _ in range(TPU_ITERS):
-        mstate, rnn, actions = step(params, mstate, rnn, actions, obs)
+        mstate, rnn, actions = step(
+            params, mstate, rnn, actions, obs, masks1, masks2
+        )
     jax.block_until_ready(actions)
     dt = time.time() - t0
     sps = B * TPU_ITERS / dt
@@ -216,6 +229,9 @@ def bench_torch() -> float:
         return nn.Sequential(*layers)
 
     depth_net = gn_resnet50().eval()
+    # learned per-cell spatial embedding concatenated on channels
+    # (128 compression + 64 spatial = 192, as in the DDPPO depth encoder)
+    spatial_emb = torch.randn(1, 64, 4, 4)
     map_net = nn.Sequential(
         *[
             m
@@ -296,6 +312,7 @@ def bench_torch() -> float:
         )
         # --- encoders
         dfeat = depth_net(torch.nn.functional.avg_pool2d(depth, 2))
+        dfeat = torch.cat([dfeat, spatial_emb.expand(B, 64, 4, 4)], 1)
         dfeat = dfeat.reshape(B, 192, -1)
         onehot = torch.nn.functional.one_hot(
             sem_map.reshape(B, MAP_HW, MAP_HW).clamp(0, 12), 13

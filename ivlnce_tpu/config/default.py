@@ -214,6 +214,11 @@ def get_config(
                     config.BASE_TASK_CONFIG_PATH
                 )
                 prev_task_config = config.BASE_TASK_CONFIG_PATH
+                # re-apply the experiment file so its TASK_CONFIG overrides
+                # land on top of the freshly built task config (the rebuild
+                # above would otherwise clobber them; the second merge is
+                # idempotent for every other key)
+                config.merge_from_file(config_path)
 
     if opts:
         config.CMD_TRAILING_OPTS = opts

@@ -149,11 +149,11 @@ def _grid_origin_for(pose: jnp.ndarray, params: "MapperParams") -> jnp.ndarray:
 def mapper_step(
     params: MapperParams,
     state: MapperState,
-    depth: jnp.ndarray,  # (B, H, W) normalized [0, 1]
+    depth: jnp.ndarray,  # (B, H, W) or (B, H, W, 1) normalized [0, 1]
     semantics: jnp.ndarray,  # (B, H, W) uint8 labels
     pose: jnp.ndarray,  # (B, 3) world camera position
-    elevation: jnp.ndarray,  # (B,)
-    heading: jnp.ndarray,  # (B,)
+    elevation: jnp.ndarray,  # (B,) — or (B, 2) orientation [elev, heading]
+    heading: Optional[jnp.ndarray],  # (B,), or None with (B, 2) above
     not_done_masks: jnp.ndarray,  # (B,) 0 clears the lane's world state
     update_world: bool = True,
 ) -> Tuple[MapperState, jnp.ndarray, jnp.ndarray]:
@@ -162,7 +162,15 @@ def mapper_step(
 
     ``update_world=False`` skips the frame accumulation (known-map mode,
     where the world grid is preloaded, reference mapper.py:851-881).
+
+    Input massaging (trailing depth channel, orientation split) happens
+    INSIDE the jit: a single eager slice per step costs ~1 s through the
+    axon dispatch path, so callers pass sensor arrays as-is.
     """
+    if depth.ndim == 4:
+        depth = depth[..., 0]
+    if heading is None:
+        elevation, heading = elevation[:, 0], elevation[:, 1]
     b = depth.shape[0]
     keep = not_done_masks.astype(bool)
     state = clear_lanes(state, keep)

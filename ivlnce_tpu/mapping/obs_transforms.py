@@ -59,7 +59,11 @@ class Mapper:
         rednet_params=None,
         maps_location: Optional[str] = None,
         known_map_max_points: int = 2 ** 18,
+        compute_dtype: str = "float32",
     ):
+        self.compute_dtype = (
+            jnp.bfloat16 if compute_dtype == "bfloat16" else None
+        )
         self.params = MapperParams(
             camera=camera_parameters,
             map_height_meters=map_dimensions.height_meters,
@@ -122,6 +126,7 @@ class Mapper:
                 self.rednet_params,
                 jnp.asarray(observations["rgb"]),
                 jnp.asarray(observations["depth"][..., 0]),
+                dtype=self.compute_dtype,
             )
         sem = observations["semantic12"]
         if sem.ndim == 4:
@@ -180,21 +185,27 @@ class Mapper:
         b = masks.shape[0]
         self._ensure_state(b)
 
-        pose = jnp.asarray(observations["world_robot_pose"], jnp.float32)
+        # jnp.asarray on host data = one H2D put (cheap); all COMPUTE
+        # (channel squeeze, orientation split) stays inside the jitted
+        # mapper_step — eager ops cost ~1 s each through the axon tunnel
+        pose = jnp.asarray(np.asarray(observations["world_robot_pose"], np.float32))
         orientation = jnp.asarray(
-            observations["world_robot_orientation"], jnp.float32
+            np.asarray(observations["world_robot_orientation"], np.float32)
         )
-        depth = jnp.asarray(observations["depth"], jnp.float32)
-        if depth.ndim == 4:
-            depth = depth[..., 0]
+        depth = observations["depth"]
+        if not isinstance(depth, jnp.ndarray):
+            depth = jnp.asarray(np.asarray(depth, np.float32))
 
         if self.known_maps:
             self._maybe_load_known_maps(observations, masks)
-            semantics = jnp.zeros(depth.shape, jnp.uint8)
+            # host-built constants (H2D put, not an eager device op)
+            semantics = jnp.asarray(
+                np.zeros(depth.shape[:3], np.uint8)
+            )
             update_world = False
             # known-map lanes never clear on episode boundaries via masks:
             # reloading handles resets (mapper.py:851-881)
-            step_masks = jnp.ones((b,), jnp.float32)
+            step_masks = jnp.asarray(np.ones((b,), np.float32))
         else:
             semantics = self._semantics(observations)
             update_world = True
@@ -206,8 +217,8 @@ class Mapper:
             depth,
             semantics,
             pose,
-            orientation[:, 0],
-            orientation[:, 1],
+            orientation,
+            None,
             step_masks,
             update_world=update_world,
         )
@@ -241,6 +252,7 @@ class Mapper:
             map_dimensions=dims,
             grid_cells=config.TPU.world_grid_cells,
             rednet_params=rednet_params,
+            compute_dtype=config.TPU.compute_dtype,
             **kwargs,
         )
 

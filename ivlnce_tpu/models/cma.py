@@ -42,6 +42,13 @@ from ivlnce_tpu.models import rnn as R
 Params = Dict
 
 
+def _compute_dtype(cfg):
+    """TPU.compute_dtype threaded onto the model config by the policies
+    (policy.py); None = f32 parity path."""
+    name = getattr(cfg, "compute_dtype", "float32")
+    return jnp.bfloat16 if name == "bfloat16" else None
+
+
 def _attn(q, k, v, scale, mask=None):
     """Reference _attn (map_cma_policy.py:266-274): q (B, C), k/v
     (B, C, I); mask True marks invalid positions."""
@@ -153,20 +160,25 @@ def map_cma_encode(
         params["instruction_encoder"], cfg.INSTRUCTION_ENCODER, observations
     )  # (N, C_txt, T_tokens)
 
+    dtype = _compute_dtype(cfg)
     if "depth_features" in observations:
         dep = observations["depth_features"]
     else:
         dep = RN.apply_vln_depth_encoder(
-            params["depth_encoder"], observations["depth"]
+            params["depth_encoder"], observations["depth"], dtype=dtype
         )  # (N, C, h, w)
     dep = dep.reshape(dep.shape[0], dep.shape[1], -1)
 
+    map_train = training and cfg.SEMANTIC_MAP_ENCODER.trainable
     map_feat = ME.apply_map_encoder(
         params["map_encoder"],
         observations["occupancy_map"],
         observations["semantic_map"],
         cfg.SEMANTIC_MAP_ENCODER.num_semantic_classes,
-        training=training and cfg.SEMANTIC_MAP_ENCODER.trainable,
+        training=map_train,
+        # keep the trainable map encoder in f32 during training (master
+        # weights stay f32; only the frozen-eval path drops precision)
+        dtype=None if map_train else dtype,
     )
     map_feat = map_feat.reshape(map_feat.shape[0], map_feat.shape[1], -1)
 
@@ -342,11 +354,12 @@ def latent_cma_encode(
         params["instruction_encoder"], cfg.INSTRUCTION_ENCODER, observations
     )
 
+    dtype = _compute_dtype(cfg)
     if "depth_features" in observations:
         dep = observations["depth_features"]
     else:
         dep = RN.apply_vln_depth_encoder(
-            params["depth_encoder"], observations["depth"]
+            params["depth_encoder"], observations["depth"], dtype=dtype
         )
     dep = dep.reshape(dep.shape[0], dep.shape[1], -1)
 
@@ -354,7 +367,7 @@ def latent_cma_encode(
         rgb = observations["rgb_features"]
     else:
         rgb = RN.apply_torchvision_resnet50_spatial(
-            params["rgb_encoder"], observations["rgb"]
+            params["rgb_encoder"], observations["rgb"], dtype=dtype
         )
     rgb = rgb.reshape(rgb.shape[0], rgb.shape[1], -1)
 

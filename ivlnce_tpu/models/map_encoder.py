@@ -47,24 +47,29 @@ def apply_map_encoder(
     semantic_map: jnp.ndarray,  # (B, R, C) uint8
     num_semantic_classes: int = 13,
     training: bool = False,
+    dtype=None,
 ) -> jnp.ndarray:
     """Returns (B, C_out, R/16, C/16) channel-first features.
 
     training=True uses batch statistics (the reference's map encoder is
     trainable by default with live BatchNorm; running-stat updates are
-    returned by map_encoder_new_stats)."""
-    occ = occupancy_map.astype(jnp.float32)[..., None]  # (B, R, C, 1)
+    returned by map_encoder_new_stats). ``dtype`` optionally runs the conv
+    stack in low precision (TPU.compute_dtype); output is cast to f32."""
+    compute = dtype or jnp.float32
+    occ = occupancy_map.astype(compute)[..., None]  # (B, R, C, 1)
     sem = jax.nn.one_hot(
-        semantic_map.astype(jnp.int32), num_semantic_classes, dtype=jnp.float32
+        semantic_map.astype(jnp.int32), num_semantic_classes, dtype=compute
     )
     x = jnp.concatenate([occ, sem], axis=-1)  # NHWC, 14 channels
     cnn = params["cnn"]
+    if dtype is not None:
+        cnn = F.cast_tree(cnn, dtype)
     for i in range(len(cnn)):
         blk = cnn[str(i)]["conv"]
         x = F.conv2d(blk["0"], x, 1, 3)
         x = F.relu(F.batchnorm(blk["1"], x, training=training))
         x = F.avg_pool(x, 2)
-    return x.transpose(0, 3, 1, 2)
+    return x.astype(jnp.float32).transpose(0, 3, 1, 2)
 
 
 def map_encoder_new_stats(

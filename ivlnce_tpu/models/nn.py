@@ -30,6 +30,25 @@ Params = Dict[str, jnp.ndarray]
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _prec(x: jnp.ndarray):
+    """HIGHEST for f32 parity paths; DEFAULT when the caller opted into a
+    low-precision dtype (bf16 rides the MXU natively — HIGHEST on bf16
+    would force the slow multi-pass f32 emulation again, ~200x slower for
+    the conv encoders on v5e)."""
+    return _HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def cast_tree(tree, dtype):
+    """Cast all float leaves of a param pytree (int/bool leaves pass
+    through). Used by the encoder compute_dtype path."""
+    def leaf(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 # -----------------------------------------------------------------------------
 # initializers (torch defaults)
 # -----------------------------------------------------------------------------
@@ -108,7 +127,7 @@ def init_embedding(key, num: int, dim: int, padding_idx: Optional[int] = None):
 # apply functions
 # -----------------------------------------------------------------------------
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.matmul(x, p["w"].T, precision=_HIGHEST)
+    y = jnp.matmul(x, p["w"].T, precision=_prec(x))
     if "b" in p:
         y = y + p["b"]
     return y
@@ -132,7 +151,7 @@ def conv2d(
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=_HIGHEST,
+        precision=_prec(x),
     )
     if "b" in p:
         y = y + p["b"]
@@ -143,7 +162,7 @@ def conv1d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Kernel-size-1 conv1d over (B, C, L) inputs — used by the reference's
     attention K/V projections (map_cma_policy.py:194-212). Equivalent to a
     linear map over the channel dim. Weight stored as (out, in)."""
-    y = jnp.einsum("oc,bcl->bol", p["w"], x, precision=_HIGHEST)
+    y = jnp.einsum("oc,bcl->bol", p["w"], x, precision=_prec(x))
     if "b" in p:
         y = y + p["b"][None, :, None]
     return y
@@ -175,7 +194,7 @@ def conv_transpose2d(
         padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
-        precision=_HIGHEST,
+        precision=_prec(x),
     )
     if "b" in p:
         y = y + p["b"]

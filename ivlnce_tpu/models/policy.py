@@ -60,6 +60,11 @@ class _CMAPolicyBase:
         # (map_cma_policy.py:116-118, latent_cma_policy.py:209-211)
         model_config = config.MODEL.clone()
         model_config.INSTRUCTION_ENCODER.final_state_only = False
+        # thread the TPU compute dtype onto the model config so the pure
+        # net functions see it (bf16 encoder path, models/cma.py)
+        model_config.compute_dtype = (
+            config.TPU.compute_dtype if "TPU" in config else "float32"
+        )
         self.model_config = model_config.freeze()
         self.observation_info = observation_info
 

@@ -17,14 +17,17 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ivlnce_tpu.models import nn as F
 from ivlnce_tpu.models import resnet as RN
 
 Params = Dict
 
-RGB_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-RGB_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# numpy, not jnp: module-level device constants poison the axon dispatch
+# fast path when captured into executables (see ops/scatter.py NEG_INF)
+RGB_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+RGB_STD = np.array([0.229, 0.224, 0.225], np.float32)
 DEPTH_MEAN = 0.213
 DEPTH_STD = 0.285
 
@@ -231,16 +234,27 @@ def bilinear_resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def predict_semantics(
-    p: Params, rgb_uint8: jnp.ndarray, depth_normalized: jnp.ndarray
+    p: Params,
+    rgb_uint8: jnp.ndarray,
+    depth_normalized: jnp.ndarray,
+    dtype=None,
 ) -> jnp.ndarray:
     """Full PredictSemantics path (mapper.py:782-800): returns uint8 label
-    maps (B, H, W) at the depth resolution."""
+    maps (B, H, W) at the depth resolution. ``dtype`` runs the frozen
+    encoder-decoder in low precision (TPU.compute_dtype); the argmax label
+    output is integer either way."""
     hw = depth_normalized.shape[1:3]
-    rgb = rgb_uint8.astype(jnp.float32) / 255.0
+    compute = dtype or jnp.float32
+    if dtype is not None:
+        from ivlnce_tpu.models import nn as _F
+
+        p = _F.cast_tree(p, dtype)
+    rgb = rgb_uint8.astype(compute) / 255.0
     rgb = bilinear_resize(rgb, hw)
-    rgb = (rgb - RGB_MEAN) / RGB_STD
+    rgb = (rgb - RGB_MEAN.astype(compute)) / RGB_STD.astype(compute)
     if depth_normalized.ndim == 3:
         depth_normalized = depth_normalized[..., None]
-    depth = (depth_normalized - DEPTH_MEAN) / DEPTH_STD
+    depth = (depth_normalized.astype(compute) - DEPTH_MEAN) / DEPTH_STD
+    depth = depth.astype(compute)
     scores = apply_rednet(p, rgb, depth)
     return jnp.argmax(scores, axis=-1).astype(jnp.uint8)

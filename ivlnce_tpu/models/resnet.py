@@ -23,6 +23,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ivlnce_tpu.models import nn as F
 
@@ -161,10 +162,20 @@ def init_vln_depth_encoder(
     return p, (c + spatial_embedding_dim, h, w)
 
 
-def apply_vln_depth_encoder(p: Params, depth_nhwc: jnp.ndarray) -> jnp.ndarray:
+def apply_vln_depth_encoder(
+    p: Params, depth_nhwc: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """Returns (B, C + 64, h, w) channel-first like the reference (the CMA
-    nets flatten dims 2+)."""
+    nets flatten dims 2+).
+
+    ``dtype`` (e.g. jnp.bfloat16, config TPU.compute_dtype) runs the conv
+    backbone in low precision on the MXU (~200x faster than f32 on v5e);
+    outputs are cast back to f32 for the parity-sensitive head."""
+    if dtype is not None:
+        p = F.cast_tree(p, dtype)
+        depth_nhwc = depth_nhwc.astype(dtype)
     x = apply_resnet_encoder(p["visual_encoder"], depth_nhwc)  # (B, h, w, C)
+    x = x.astype(jnp.float32)
     b, h, w, c = x.shape
     x = x.transpose(0, 3, 1, 2)  # (B, C, h, w)
     emb = p["spatial_embeddings"]["w"]  # (h*w, D)
@@ -246,8 +257,10 @@ def apply_bn_resnet50_trunk(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# numpy, not jnp: module-level device constants poison the axon dispatch
+# fast path when captured into executables (see ops/scatter.py NEG_INF)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def init_torchvision_resnet50_spatial(
@@ -265,15 +278,18 @@ def init_torchvision_resnet50_spatial(
 
 
 def apply_torchvision_resnet50_spatial(
-    p: Params, rgb_nhwc_uint8: jnp.ndarray
+    p: Params, rgb_nhwc_uint8: jnp.ndarray, dtype=None
 ) -> jnp.ndarray:
     """rgb uint8 (B, H, W, 3) -> (B, 2112, 4, 4) channel-first.
 
     The reference's TorchVisionResNet normalize() only scales /255
     (normalize_visual_inputs defaults False, resnet_encoders.py:183-192).
     """
-    x = rgb_nhwc_uint8.astype(jnp.float32) / 255.0
-    x = apply_bn_resnet50_trunk(p["cnn"], x)
+    compute = dtype or jnp.float32
+    cnn = F.cast_tree(p["cnn"], dtype) if dtype is not None else p["cnn"]
+    x = rgb_nhwc_uint8.astype(compute) / 255.0
+    x = apply_bn_resnet50_trunk(cnn, x)
+    x = x.astype(jnp.float32)
     x = F.adaptive_avg_pool(x, (4, 4))  # (B, 4, 4, 2048)
     b = x.shape[0]
     x = x.transpose(0, 3, 1, 2)

@@ -28,7 +28,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# python float, NOT jnp.float32(...): a module-level jnp scalar is a
+# device-resident constant that gets captured into every executable using
+# it — on the axon (TPU tunnel) backend such captured-buffer executables
+# permanently drop the whole process out of the fast dispatch path
+# (~30x slowdown on every subsequent jit call, measured).
+NEG_INF = float("-inf")
 
 
 class SegmentArgmax(NamedTuple):

@@ -332,7 +332,7 @@ class BaseVLNCETrainer:
             for idx in reversed(envs_to_pause):
                 state_index.pop(idx)
                 envs.pause_at(idx)
-            keep = np.asarray(state_index)
+            keep = np.asarray(state_index, dtype=np.int64)
             arrays = tuple(np.asarray(a)[keep] for a in arrays)
             if batch is not None:
                 for k, v in batch.items():
@@ -460,7 +460,7 @@ class BaseVLNCETrainer:
                 prev_actions, not_done_masks,
             )
             rnn_states = out.rnn_states
-            actions = np.asarray(out.actions)
+            actions = np.array(out.actions)  # copy: reset writes in place
             prev_actions = actions
 
             outputs = envs.step([int(a[0]) for a in actions])
@@ -592,7 +592,9 @@ class BaseVLNCETrainer:
                 agent_masks, sim_masks, tour_masks, action_masks,
             )
             rnn_states = out.rnn_states
-            actions = np.asarray(out.actions)
+            # np.array (copy): device arrays view as read-only numpy and
+            # the reset path below writes prev_actions[i] = 0 in place
+            actions = np.array(out.actions)
             prev_actions = actions
 
             outputs = envs.step([int(a[0]) for a in actions])
