@@ -216,6 +216,23 @@ class FakeSim:
         if scene_id != self.scene.scene_id:
             self.scene = SceneGeometry(scene_id)
 
+    # -- topdown map (TopDownMapVLNCE measure; habitat maps.get_topdown_map) -----
+    def get_topdown_map(self, map_resolution: int = 1024) -> np.ndarray:
+        """(res, res) uint8 index map: 1 = navigable, 0 = not."""
+        nav = self.scene.nav_grid()
+        reps = max(1, map_resolution // nav.shape[0])
+        grid = np.repeat(np.repeat(nav, reps, 0), reps, 1)
+        return grid.astype(np.uint8)
+
+    def get_bounds(self):
+        """habitat pathfinder.get_bounds equivalent: (lower, upper) world
+        xyz corners of the navigable area."""
+        h = self.scene.extent / 2
+        return (
+            np.array([-h, 0.0, -h], np.float32),
+            np.array([h, 0.0, h], np.float32),
+        )
+
     def reset(self) -> Dict[str, np.ndarray]:
         if not self.scene.is_navigable_xz(
             self._position[0], self._position[2]

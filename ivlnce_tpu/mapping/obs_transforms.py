@@ -103,10 +103,11 @@ class Mapper:
         AND map state, base_il_trainer.py:296-299)."""
         if self.state is None:
             return
-        keep = [i for i in range(self.state.height.shape[0]) if i != index]
-        self.state = jax.tree_util.tree_map(
-            lambda a: a[np.asarray(keep)], self.state
+        keep = np.asarray(
+            [i for i in range(self.state.height.shape[0]) if i != index],
+            dtype=np.int64,
         )
+        self.state = jax.tree_util.tree_map(lambda a: a[keep], self.state)
         del self._loaded_env_names[index]
 
     def reset(self) -> None:
@@ -175,6 +176,59 @@ class Mapper:
                 jnp.asarray(counts),
                 jnp.asarray(pose),
             )
+
+    # -- fused-step API (one jit per env step, trainers/base_trainer.py) ----------
+    def host_prepare(self, observations: Dict, masks: np.ndarray) -> None:
+        """Host-side per-step work: lane state allocation and known-map
+        npz loading. Called before the fused device step."""
+        self._ensure_state(len(masks))
+        if self.known_maps:
+            self._maybe_load_known_maps(observations, masks)
+
+    def make_device_step(self):
+        """Return a PURE function (state, obs, reset_masks, rednet_params)
+        -> (state, occupancy, semantic) closing over static config only
+        (no device arrays — captured buffers poison the dispatch path).
+        Trainers fuse it with the policy act into one jit."""
+        mp = self.params
+        predicted = self.predicted_semantics
+        known = self.known_maps
+        dtype = self.compute_dtype
+
+        def device_step(state, obs, reset_masks, rednet_params):
+            depth = obs["depth"]
+            if known:
+                semantics = jnp.zeros(depth.shape[:3], jnp.uint8)
+                masks = jnp.ones(
+                    (depth.shape[0],), jnp.float32
+                )  # reloads handle resets (mapper.py:851-881)
+            else:
+                if predicted:
+                    from ivlnce_tpu.models.rednet import predict_semantics
+
+                    d3 = depth[..., 0] if depth.ndim == 4 else depth
+                    semantics = predict_semantics(
+                        rednet_params, obs["rgb"], d3, dtype=dtype
+                    )
+                else:
+                    sem = obs["semantic12"]
+                    if sem.ndim == 4:
+                        sem = sem[..., 0]
+                    semantics = sem.astype(jnp.uint8)
+                masks = reset_masks.reshape(-1).astype(jnp.float32)
+            return mapper_step(
+                mp,
+                state,
+                depth,
+                semantics,
+                obs["world_robot_pose"].astype(jnp.float32),
+                obs["world_robot_orientation"].astype(jnp.float32),
+                None,
+                masks,
+                update_world=not known,
+            )
+
+        return device_step
 
     # -- forward ---------------------------------------------------------------------
     def __call__(self, observations: Dict) -> Dict:
@@ -247,6 +301,23 @@ class Mapper:
             path = "data/rednet_mp3d_best_model.pkl"
             if os.path.exists(path):
                 rednet_params = load_rednet(path)
+            else:
+                # no reference weights in this environment: random init
+                # keeps the predicted-semantics pipeline runnable
+                # (mapper.py:747 hard-requires the pkl; we degrade)
+                import jax as _jax
+
+                from ivlnce_tpu.models.rednet import init_rednet
+                from ivlnce_tpu.utils import logging_util
+
+                logging_util.logger.warning(
+                    f"RedNet checkpoint missing at {path}; "
+                    "using randomly initialized weights"
+                )
+                cpu = _jax.devices("cpu")[0]
+                with _jax.default_device(cpu):
+                    rednet_params = init_rednet(_jax.random.PRNGKey(0))
+                rednet_params = _jax.device_put(rednet_params)
         return cls(
             camera_parameters=camera,
             map_dimensions=dims,

@@ -291,6 +291,111 @@ class SDTW(Measure):
         self._metric = (ep_success or 0.0) * (ndtw or 0.0)
 
 
+@registry.register_measure(name="TopDownMapVLNCE")
+class TopDownMapVLNCE(Measure):
+    """Drawn top-down map with agent trail, fog of war, source/target,
+    reference path and border (reference measures.py:233-478). The metric
+    is a dict consumed by utils/viz.observations_to_image. MP3D node
+    drawing activates only when a connectivity graph exists for the scene
+    (the fake backend ships none)."""
+
+    cls_uuid = "top_down_map_vlnce"
+
+    def __init__(self, sim=None, config=None, task_config=None, **kwargs):
+        super().__init__(sim=sim, config=config, task_config=task_config)
+        self._res = config.MAP_RESOLUTION if config is not None else 1024
+        self._map = None
+        self._fog = None
+        self._bounds = None
+        self._step_count = 0
+
+    def _world_to_grid(self, x: float, z: float):
+        from ivlnce_tpu.tasks import maps as maps_util
+
+        return maps_util.static_to_grid(
+            z, x, self._map.shape[:2], self._bounds
+        )
+
+    def reset_metric(self, episode, measurements, **kwargs):
+        from ivlnce_tpu.tasks import maps as maps_util
+
+        if not hasattr(self._sim, "get_topdown_map"):
+            self._metric = None
+            return
+        self._step_count = 0
+        base = self._sim.get_topdown_map(self._res)
+        lower, upper = self._sim.get_bounds()
+        self._bounds = {"lower": lower, "upper": upper}
+        self._map = base.copy()
+        if self._config is None or self._config.DRAW_BORDER:
+            # mark navigable/non-navigable boundary cells
+            import numpy as _np
+
+            nav = base > 0
+            edge = nav & ~(
+                _np.roll(nav, 1, 0) & _np.roll(nav, -1, 0)
+                & _np.roll(nav, 1, 1) & _np.roll(nav, -1, 1)
+            )
+            self._map[edge] = maps_util.MAP_BORDER_INDICATOR
+        self._fog = np.zeros(self._map.shape[:2], np.uint8)
+
+        if (
+            self._config is None or self._config.DRAW_REFERENCE_PATH
+        ) and getattr(episode, "reference_path", None):
+            pts = [
+                self._world_to_grid(p[0], p[2])
+                for p in episode.reference_path
+            ]
+            maps_util.draw_path(
+                self._map, pts, maps_util.MAP_REFERENCE_POINT, 1
+            )
+        if self._config is None or self._config.DRAW_SOURCE_AND_TARGET:
+            src = self._world_to_grid(
+                episode.start_position[0], episode.start_position[2]
+            )
+            tgt = self._world_to_grid(
+                episode.goals[0].position[0], episode.goals[0].position[2]
+            )
+            maps_util.draw_source_and_target(self._map, src, tgt)
+        self.update_metric(episode=episode, measurements=measurements)
+
+    def update_metric(self, episode, measurements, **kwargs):
+        if self._map is None:
+            return
+        from ivlnce_tpu.ops.geometry import heading_from_quaternion
+
+        self._step_count += 1
+        state = self._sim.get_agent_state()
+        r, c = self._world_to_grid(state.position[0], state.position[2])
+        r = int(np.clip(r, 0, self._map.shape[0] - 1))
+        c = int(np.clip(c, 0, self._map.shape[1] - 1))
+        # fog of war: reveal a visibility disk around the agent
+        vis_m = (
+            self._config.FOG_OF_WAR.VISIBILITY_DIST
+            if self._config is not None
+            else 5.0
+        )
+        cell_m = abs(
+            self._bounds["upper"][0] - self._bounds["lower"][0]
+        ) / self._map.shape[1]
+        rad = max(1, int(vis_m / max(cell_m, 1e-6)))
+        rr0, rr1 = max(0, r - rad), min(self._map.shape[0], r + rad + 1)
+        cc0, cc1 = max(0, c - rad), min(self._map.shape[1], c + rad + 1)
+        yy, xx = np.ogrid[rr0:rr1, cc0:cc1]
+        self._fog[rr0:rr1, cc0:cc1] |= (
+            (yy - r) ** 2 + (xx - c) ** 2 <= rad * rad
+        ).astype(np.uint8)
+
+        q = state.rotation
+        agent_angle = heading_from_quaternion(q[0], q[1], q[2], q[3])
+        self._metric = {
+            "map": self._map,
+            "fog_of_war_mask": self._fog,
+            "agent_map_coord": (r, c),
+            "agent_angle": float(agent_angle),
+        }
+
+
 MEASURE_TYPE_TO_CONFIG_KEY = {
     "DistanceToGoal": "DISTANCE_TO_GOAL",
     "Success": "SUCCESS",

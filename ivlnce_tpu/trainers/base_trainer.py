@@ -33,16 +33,12 @@ import numpy as np
 import optax
 
 from ivlnce_tpu.envs.vector_env import construct_envs_auto_reset_false
-from ivlnce_tpu.mapping.obs_transforms import (
-    apply_obs_transforms_batch,
-    get_active_obs_transforms,
-)
+from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
 from ivlnce_tpu.models import cma as cma_mod
 from ivlnce_tpu.models.policy import action_logits
 from ivlnce_tpu.tasks.tour_ndtw import compute_tour_ndtw
 from ivlnce_tpu.utils import logging_util
 from ivlnce_tpu.utils.batching import (
-    add_batched_data_to_observations,
     batch_obs,
     extract_instruction_tokens,
 )
@@ -278,6 +274,79 @@ class BaseVLNCETrainer:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
+    def _fused_act_fn(self, transform, iterative: bool):
+        """One jit per env step: mapper device step + policy act fused.
+        Separate executables pay a ~10x fresh-input dispatch penalty on
+        the TPU tunnel (an executable consuming another's outputs), and
+        one fused executable is the TPU-right design regardless."""
+        key = f"fused_act_{iterative}_{type(transform).__name__}"
+        if key not in self._jit_cache:
+            device_step = transform.make_device_step()
+            policy = self.policy
+
+            if iterative:
+                def fn(params, rednet_params, state, obs, reset_masks,
+                       rnn, prev, am, sm, tm, act_m):
+                    state, occ, sem = device_step(
+                        state, obs, reset_masks, rednet_params
+                    )
+                    pobs = dict(obs)
+                    pobs["occupancy_map"] = occ
+                    pobs["semantic_map"] = sem
+                    out = policy.act_iterative(
+                        params, pobs, rnn, prev, am, sm, tm, act_m,
+                        deterministic=True,
+                    )
+                    return state, occ, sem, out
+            else:
+                def fn(params, rednet_params, state, obs, reset_masks,
+                       rnn, prev, masks):
+                    state, occ, sem = device_step(
+                        state, obs, reset_masks, rednet_params
+                    )
+                    pobs = dict(obs)
+                    pobs["occupancy_map"] = occ
+                    pobs["semantic_map"] = sem
+                    out = policy.act(
+                        params, pobs, rnn, prev, masks, deterministic=True
+                    )
+                    return state, occ, sem, out
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _policy_step(self, batch, reset_masks, rnn_states, prev_actions,
+                     masks, iterative: bool):
+        """Run one policy step, fusing the active mapper obs transform
+        into the act executable. ``masks`` is the tuple of act masks
+        ((not_done,) episodic; (agent, sim, tour, action) iterative).
+        Returns (PolicyOutput, batch) — batch gains occupancy_map /
+        semantic_map when a mapper is active (device arrays)."""
+        transform = self.obs_transforms[0] if self.obs_transforms else None
+        if transform is None:
+            act = self._act_fn(iterative)
+            out = act(
+                self.params, _device_batch(batch), rnn_states,
+                prev_actions, *masks,
+            )
+            return out, batch
+        transform.host_prepare(batch, np.asarray(reset_masks).reshape(-1))
+        fused = self._fused_act_fn(transform, iterative)
+        state, occ, sem, out = fused(
+            self.params,
+            transform.rednet_params or {},
+            transform.state,
+            _device_batch(batch),
+            jnp.asarray(np.asarray(reset_masks, np.float32)),
+            rnn_states,
+            prev_actions,
+            *masks,
+        )
+        transform.state = state
+        batch["occupancy_map"] = occ
+        batch["semantic_map"] = sem
+        return out, batch
+
     def _train_step_fn(self):
         if "train_step" not in self._jit_cache:
             self._jit_cache["train_step"] = jax.jit(
@@ -408,6 +477,17 @@ class BaseVLNCETrainer:
         config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE_TOURS = False
         config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE_EPISODES = False
         config.IL.ckpt_to_load = checkpoint_path
+        if len(config.VIDEO_OPTION) > 0:
+            # drawn map measure only when videos requested
+            # (base_il_trainer.py:352-373)
+            os.makedirs(config.VIDEO_DIR, exist_ok=True)
+            if (
+                "TOP_DOWN_MAP_VLNCE"
+                not in config.TASK_CONFIG.TASK.MEASUREMENTS
+            ):
+                config.TASK_CONFIG.TASK.MEASUREMENTS.append(
+                    "TOP_DOWN_MAP_VLNCE"
+                )
         config.freeze()
 
         if config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENABLED:
@@ -430,7 +510,6 @@ class BaseVLNCETrainer:
         envs = construct_envs_auto_reset_false(config, env_class)
         self.obs_transforms = get_active_obs_transforms(config)
         self._initialize_policy(config, load_from_ckpt=True)
-        act = self._act_fn(iterative=False)
 
         rnn_states = self.policy.initial_rnn_states(envs.num_envs)
         prev_actions = np.zeros((envs.num_envs, 1), np.int64)
@@ -438,11 +517,7 @@ class BaseVLNCETrainer:
 
         observations = envs.reset()
         observations = extract_instruction_tokens(observations)
-        observations = add_batched_data_to_observations(
-            observations, not_done_masks, "not_done_masks"
-        )
         batch = batch_obs(observations)
-        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         stats_episodes: Dict[str, Dict] = {}
         episodes_to_eval = sum(envs.count_episodes())
@@ -450,14 +525,15 @@ class BaseVLNCETrainer:
             episodes_to_eval = min(
                 config.EVAL.EPISODE_COUNT, episodes_to_eval
             )
+        rgb_frames: List[List] = [[] for _ in range(envs.num_envs)]
 
         start_time = time.time()
         while envs.num_envs > 0 and len(stats_episodes) < episodes_to_eval:
             current_episodes = self._current_episode_info(envs)
 
-            out = act(
-                self.params, _device_batch(batch), rnn_states,
-                prev_actions, not_done_masks,
+            out, batch = self._policy_step(
+                batch, not_done_masks, rnn_states, prev_actions,
+                (not_done_masks,), iterative=False,
             )
             rnn_states = out.rnn_states
             actions = np.array(out.actions)  # copy: reset writes in place
@@ -470,6 +546,31 @@ class BaseVLNCETrainer:
                 [[0] if done else [1] for done in dones], np.uint8
             )
             for i in range(envs.num_envs):
+                if len(config.VIDEO_OPTION) > 0:
+                    from ivlnce_tpu.utils import viz
+
+                    frame = viz.observations_to_image(
+                        observations[i], infos[i]
+                    )
+                    frame = viz.append_text_to_image(
+                        frame, current_episodes[i].get("instruction_text", "")
+                    )
+                    if "occupancy_map" in batch:
+                        map_frame = viz.append_image_horizontally(
+                            [
+                                viz.visualize_ego_occupancy_map(
+                                    np.asarray(batch["occupancy_map"][i])
+                                ),
+                                viz.visualize_ego_semantic_map(
+                                    np.asarray(batch["semantic_map"][i])
+                                ),
+                            ]
+                        )
+                        frame = viz.append_image_vertically(
+                            [frame, map_frame]
+                        )
+                    rgb_frames[i].append(frame)
+
                 if not dones[i]:
                     continue
                 stats_episodes[current_episodes[i]["episode_id"]] = {
@@ -482,13 +583,26 @@ class BaseVLNCETrainer:
                     f"{len(stats_episodes)}/{episodes_to_eval} "
                     f"({round(time.time() - start_time)}s)"
                 )
+                if len(config.VIDEO_OPTION) > 0:
+                    from ivlnce_tpu.utils import viz
+
+                    viz.generate_video(
+                        video_option=config.VIDEO_OPTION,
+                        video_dir=config.VIDEO_DIR,
+                        images=rgb_frames[i],
+                        episode_id=current_episodes[i]["episode_id"],
+                        checkpoint_idx=checkpoint_index,
+                        metrics={
+                            "spl": stats_episodes[
+                                current_episodes[i]["episode_id"]
+                            ].get("spl", 0.0)
+                        },
+                        tb_writer=writer,
+                    )
+                    rgb_frames[i] = []
 
             observations = extract_instruction_tokens(observations)
-            observations = add_batched_data_to_observations(
-                observations, not_done_masks, "not_done_masks"
-            )
             batch = batch_obs(observations)
-            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
             next_episodes = self._current_episode_info(envs)
             envs_to_pause = [
@@ -497,10 +611,11 @@ class BaseVLNCETrainer:
                 if next_episodes[i]["episode_id"] in stats_episodes
             ]
             (
-                envs, rnn_states, not_done_masks, prev_actions, batch, _,
+                envs, rnn_states, not_done_masks, prev_actions, batch,
+                rgb_frames,
             ) = self._pause_envs(
                 envs_to_pause, envs, rnn_states, not_done_masks,
-                prev_actions, batch=batch,
+                prev_actions, batch=batch, rgb_frames=rgb_frames,
             )
 
         envs.close()
@@ -557,7 +672,6 @@ class BaseVLNCETrainer:
         envs = construct_envs_auto_reset_false(config, env_class)
         self.obs_transforms = get_active_obs_transforms(config)
         self._initialize_policy(config, load_from_ckpt=True)
-        act = self._act_fn(iterative=True)
 
         rnn_states = self.policy.initial_rnn_states(envs.num_envs)
         prev_actions = np.zeros((envs.num_envs, 1), np.int64)
@@ -568,15 +682,11 @@ class BaseVLNCETrainer:
 
         observations, _, _ = (list(x) for x in zip(*envs.reset()))
         observations = extract_instruction_tokens(observations)
-        reset_masks = agent_masks if map_reset == "episodic" else tour_masks
-        observations = add_batched_data_to_observations(
-            observations, reset_masks, "not_done_masks"
-        )
         batch = batch_obs(observations)
-        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         stats_tours: Dict[str, Dict] = defaultdict(dict)
         dtw_data: Dict[str, List] = defaultdict(list)
+        rgb_frames: List[List] = [[] for _ in range(envs.num_envs)]
         episodes_evaluated = 0
         episodes_to_eval = sum(envs.count_episodes())
         if config.EVAL.EPISODE_COUNT > -1:
@@ -587,9 +697,13 @@ class BaseVLNCETrainer:
 
         while envs.num_envs > 0:
             current_episodes = self._current_episode_info(envs)
-            out = act(
-                self.params, _device_batch(batch), rnn_states, prev_actions,
-                agent_masks, sim_masks, tour_masks, action_masks,
+            reset_masks = (
+                agent_masks if map_reset == "episodic" else tour_masks
+            )
+            out, batch = self._policy_step(
+                batch, reset_masks, rnn_states, prev_actions,
+                (agent_masks, sim_masks, tour_masks, action_masks),
+                iterative=True,
             )
             rnn_states = out.rnn_states
             # np.array (copy): device arrays view as read-only numpy and
@@ -617,6 +731,31 @@ class BaseVLNCETrainer:
             )
 
             for i in range(envs.num_envs):
+                if len(config.VIDEO_OPTION) > 0:
+                    from ivlnce_tpu.utils import viz
+
+                    frame = viz.observations_to_image(
+                        observations[i], infos[i]
+                    )
+                    frame = viz.append_text_to_image(
+                        frame, current_episodes[i].get("instruction_text", "")
+                    )
+                    if "occupancy_map" in batch:
+                        map_frame = viz.append_image_horizontally(
+                            [
+                                viz.visualize_ego_occupancy_map(
+                                    np.asarray(batch["occupancy_map"][i])
+                                ),
+                                viz.visualize_ego_semantic_map(
+                                    np.asarray(batch["semantic_map"][i])
+                                ),
+                            ]
+                        )
+                        frame = viz.append_image_vertically(
+                            [frame, map_frame]
+                        )
+                    rgb_frames[i].append(frame)
+
                 if not agent_dones[i]:
                     continue
                 ep_id = current_episodes[i]["episode_id"]
@@ -638,6 +777,23 @@ class BaseVLNCETrainer:
                     continue
                 if "dtw_data" in infos[i]:
                     dtw_data[tour_id].extend(infos[i]["dtw_data"])
+                if len(config.VIDEO_OPTION) > 0 and rgb_frames[i]:
+                    from ivlnce_tpu.utils import viz
+
+                    viz.generate_video(
+                        video_option=config.VIDEO_OPTION,
+                        video_dir=config.VIDEO_DIR,
+                        images=rgb_frames[i],
+                        episode_id=ep_id,
+                        checkpoint_idx=checkpoint_index,
+                        metrics={
+                            "spl": stats_tours[tour_id]
+                            .get(ep_id, {})
+                            .get("spl", 0.0)
+                        },
+                        tb_writer=writer,
+                    )
+                    rgb_frames[i] = []
 
                 observations[i], tour_done, produce_action = envs.reset_at(i)
                 tour_masks[i] = int(not tour_done)
@@ -645,14 +801,7 @@ class BaseVLNCETrainer:
                 prev_actions[i] = 0
 
             observations = extract_instruction_tokens(observations)
-            reset_masks = (
-                agent_masks if map_reset == "episodic" else tour_masks
-            )
-            observations = add_batched_data_to_observations(
-                observations, reset_masks, "not_done_masks"
-            )
             batch = batch_obs(observations)
-            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
             next_episodes = self._current_episode_info(envs)
             envs_to_pause = []
@@ -664,10 +813,11 @@ class BaseVLNCETrainer:
                     envs_to_pause.append(i)
             (
                 envs, rnn_states, agent_masks, sim_masks, tour_masks,
-                action_masks, prev_actions, batch, _,
+                action_masks, prev_actions, batch, rgb_frames,
             ) = self._pause_envs(
                 envs_to_pause, envs, rnn_states, agent_masks, sim_masks,
                 tour_masks, action_masks, prev_actions, batch=batch,
+                rgb_frames=rgb_frames,
             )
 
         envs.close()

@@ -371,6 +371,8 @@ class DaggerTrainer(BaseVLNCETrainer):
                     ]:
                         step_obs.pop(k, None)
                 step_obs.pop("not_done_masks", None)
+                # strings never reach the jitted update
+                step_obs.pop("env_name", None)
 
                 episodes[i].append(
                     (

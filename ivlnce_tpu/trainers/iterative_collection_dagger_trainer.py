@@ -201,6 +201,8 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
                     ]:
                         step_obs.pop(k, None)
                 step_obs.pop("not_done_masks", None)
+                # strings never reach the jitted update
+                step_obs.pop("env_name", None)
 
                 episodes[i].append(
                     (

@@ -124,12 +124,14 @@ class TourSampler:
                 transposed[i].append(elem)
 
         if drop_last:
-            last_full = len(transposed) - 1
+            # keep the full-width prefix: lanes run out at different tour
+            # lengths; a short batch would break the fixed (T, N) shapes
+            n_full = len(transposed)
             for i, b in enumerate(transposed):
                 if len(b) < batch_size:
-                    last_full = i - 1
+                    n_full = i
                     break
-            transposed = transposed[:last_full]
+            transposed = transposed[:n_full]
         return transposed, tour_done_idxs
 
     def get_num_batches(self) -> int:
