@@ -178,6 +178,9 @@ _C.TPU.use_pallas = True
 _C.TPU.donate_state = True
 # orbax checkpointing directory (defaults next to CHECKPOINT_FOLDER)
 _C.TPU.async_checkpointing = False
+# non-empty: capture a jax.profiler trace of the first eval/train steps
+# into this directory (also via IVLNCE_PROFILE_DIR env var)
+_C.TPU.profile_dir = ""
 
 
 def purge_keys(config: CN, keys: List[str]) -> None:

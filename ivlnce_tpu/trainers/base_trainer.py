@@ -37,7 +37,7 @@ from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
 from ivlnce_tpu.models import cma as cma_mod
 from ivlnce_tpu.models.policy import action_logits
 from ivlnce_tpu.tasks.tour_ndtw import compute_tour_ndtw
-from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils import logging_util, profiling
 from ivlnce_tpu.utils.batching import (
     batch_obs,
     extract_instruction_tokens,
@@ -322,26 +322,35 @@ class BaseVLNCETrainer:
         ((not_done,) episodic; (agent, sim, tour, action) iterative).
         Returns (PolicyOutput, batch) — batch gains occupancy_map /
         semantic_map when a mapper is active (device arrays)."""
+        # on-demand trace capture of steps [3, 23) (TPU.profile_dir)
+        self._step_counter = getattr(self, "_step_counter", 0) + 1
+        if self._step_counter == 3:
+            profiling.maybe_start_trace(self.config)
+        elif self._step_counter == 23:
+            profiling.maybe_stop_trace()
+
         transform = self.obs_transforms[0] if self.obs_transforms else None
         if transform is None:
             act = self._act_fn(iterative)
-            out = act(
-                self.params, _device_batch(batch), rnn_states,
-                prev_actions, *masks,
-            )
+            with profiling.range_context("policy_step"):
+                out = act(
+                    self.params, _device_batch(batch), rnn_states,
+                    prev_actions, *masks,
+                )
             return out, batch
         transform.host_prepare(batch, np.asarray(reset_masks).reshape(-1))
         fused = self._fused_act_fn(transform, iterative)
-        state, occ, sem, out = fused(
-            self.params,
-            transform.rednet_params or {},
-            transform.state,
-            _device_batch(batch),
-            jnp.asarray(np.asarray(reset_masks, np.float32)),
-            rnn_states,
-            prev_actions,
-            *masks,
-        )
+        with profiling.range_context("fused_policy_step"):
+            state, occ, sem, out = fused(
+                self.params,
+                transform.rednet_params or {},
+                transform.state,
+                _device_batch(batch),
+                jnp.asarray(np.asarray(reset_masks, np.float32)),
+                rnn_states,
+                prev_actions,
+                *masks,
+            )
         transform.state = state
         batch["occupancy_map"] = occ
         batch["semantic_map"] = sem
@@ -378,19 +387,21 @@ class BaseVLNCETrainer:
         if tour_not_done_masks is None:
             tour_not_done_masks = not_done_masks
         step = self._train_step_fn()
-        (
-            self.params, self.opt_state, loss, action_loss, aux_loss, rnn_out,
-        ) = step(
-            self.params,
-            self.opt_state,
-            observations,
-            jnp.asarray(prev_actions),
-            jnp.asarray(not_done_masks, jnp.float32),
-            jnp.asarray(tour_not_done_masks, jnp.float32),
-            jnp.asarray(corrected_actions, jnp.int32),
-            jnp.asarray(weights, jnp.float32),
-            rnn_states,
-        )
+        with profiling.range_context("train_step"):
+            (
+                self.params, self.opt_state, loss, action_loss, aux_loss,
+                rnn_out,
+            ) = step(
+                self.params,
+                self.opt_state,
+                observations,
+                jnp.asarray(prev_actions),
+                jnp.asarray(not_done_masks, jnp.float32),
+                jnp.asarray(tour_not_done_masks, jnp.float32),
+                jnp.asarray(corrected_actions, jnp.int32),
+                jnp.asarray(weights, jnp.float32),
+                rnn_states,
+            )
         return float(loss), float(action_loss), float(aux_loss), rnn_out
 
     # -- lane pausing -----------------------------------------------------------------
