@@ -151,21 +151,31 @@ class Mapper:
             self._known_map_cache[env_name] = (xyz_pad, sem_pad, n)
         return self._known_map_cache[env_name]
 
-    def _maybe_load_known_maps(self, observations: Dict, masks: np.ndarray):
+    def _maybe_load_known_maps(
+        self, observations: Dict, masks: np.ndarray, rows=None
+    ):
+        """``rows[i]`` maps live lane i to its state row (fixed-lane eval
+        keeps device state full-width while lanes pause)."""
         env_names = observations.get("env_name")
         b = len(masks)
-        lane_mask = np.zeros((b,), bool)
-        xyz = np.zeros((b, self.known_map_max_points, 3), np.float32)
-        sem = np.zeros((b, self.known_map_max_points), np.uint8)
-        counts = np.zeros((b,), np.int32)
-        pose = np.asarray(observations["world_robot_pose"], np.float32)
+        if rows is None:
+            rows = np.arange(b)
+        n_rows = self.state.height.shape[0]
+        lane_mask = np.zeros((n_rows,), bool)
+        xyz = np.zeros((n_rows, self.known_map_max_points, 3), np.float32)
+        sem = np.zeros((n_rows, self.known_map_max_points), np.uint8)
+        counts = np.zeros((n_rows,), np.int32)
+        pose = np.zeros((n_rows, 3), np.float32)
+        live_pose = np.asarray(observations["world_robot_pose"], np.float32)
         for i in range(b):
+            row = int(rows[i])
+            pose[row] = live_pose[i]
             name = env_names[i] if env_names is not None else None
-            if masks[i] == 0 or self._loaded_env_names[i] != name:
+            if masks[i] == 0 or self._loaded_env_names[row] != name:
                 x, s, n = self._load_known_map(name)
-                lane_mask[i] = True
-                xyz[i], sem[i], counts[i] = x, s, n
-                self._loaded_env_names[i] = name
+                lane_mask[row] = True
+                xyz[row], sem[row], counts[row] = x, s, n
+                self._loaded_env_names[row] = name
         if lane_mask.any():
             self.state = load_points_into_state(
                 self.params,
@@ -178,12 +188,20 @@ class Mapper:
             )
 
     # -- fused-step API (one jit per env step, trainers/base_trainer.py) ----------
-    def host_prepare(self, observations: Dict, masks: np.ndarray) -> None:
+    def host_prepare(
+        self,
+        observations: Dict,
+        masks: np.ndarray,
+        rows=None,
+        num_rows: int = None,
+    ) -> None:
         """Host-side per-step work: lane state allocation and known-map
-        npz loading. Called before the fused device step."""
-        self._ensure_state(len(masks))
+        npz loading. Called before the fused device step. ``rows`` /
+        ``num_rows`` support fixed-lane eval (device state stays
+        full-width while lanes pause)."""
+        self._ensure_state(num_rows or len(masks))
         if self.known_maps:
-            self._maybe_load_known_maps(observations, masks)
+            self._maybe_load_known_maps(observations, masks, rows)
 
     def make_device_step(self):
         """Return a PURE function (state, obs, reset_masks, rednet_params)

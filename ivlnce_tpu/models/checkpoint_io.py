@@ -173,7 +173,11 @@ def load_reference_policy_checkpoint(path: str) -> Dict[str, Any]:
         for k, v in state.items()
         if k.startswith("action_distribution.")
     }
-    params = convert_state_dict(net)
-    params["action_distribution"] = convert_state_dict(head)
+    if net or head:
+        params = convert_state_dict(net)
+        params["action_distribution"] = convert_state_dict(head)
+    else:
+        # unprefixed layout: convert the whole state_dict
+        params = convert_state_dict(state)
     return {**{k: v for k, v in ckpt.items() if k != "state_dict"},
             "params": params}

@@ -201,6 +201,7 @@ class BaseVLNCETrainer:
         )
         logger.info(f"Agent parameters: {n_params}.")
         self._jit_cache = {}
+        self._lane_rows = None  # fixed-lane bookkeeping resets per run
 
     def _load_external_encoders(self, config) -> None:
         """Frozen external weights: DDPPO depth, torchvision RGB, map
@@ -228,22 +229,62 @@ class BaseVLNCETrainer:
         self, file_name: str, dagger_it: int = 0, epoch: int = 0,
         step_id: int = 0,
     ) -> None:
-        payload = {
-            "params": jax.tree_util.tree_map(np.asarray, self.params),
+        path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
+        meta = {
             "config": self.config.to_dict(),
-            "optim_state": jax.tree_util.tree_map(
-                np.asarray, self.opt_state
-            ),
             "dagger_it": dagger_it,
             "epoch": epoch,
             "step_id": step_id,
         }
-        path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
+        if self.config.TPU.async_checkpointing:
+            # orbax async save: device->host copy happens now, disk IO
+            # overlaps the next training steps
+            import json as _json
+
+            import orbax.checkpoint as ocp
+
+            if getattr(self, "_orbax", None) is None:
+                self._orbax = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler()
+                )
+            self._orbax.save(
+                os.path.abspath(path) + ".orbax",
+                {"params": self.params, "optim_state": self.opt_state},
+                force=True,
+            )
+            with open(path + ".meta.json", "w") as f:
+                _json.dump(meta, f)
+            return
+        payload = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "optim_state": jax.tree_util.tree_map(
+                np.asarray, self.opt_state
+            ),
+            **meta,
+        }
         with open(path, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     def load_checkpoint(self, checkpoint_path: str) -> Dict:
-        """Load our pickle checkpoints or reference torch .pth files."""
+        """Load our pickle / orbax checkpoints or reference torch .pth
+        files."""
+        if os.path.isdir(checkpoint_path + ".orbax") or os.path.isdir(
+            checkpoint_path
+        ):
+            import json as _json
+
+            import orbax.checkpoint as ocp
+
+            path = checkpoint_path
+            if os.path.isdir(path + ".orbax"):
+                path = path + ".orbax"
+            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+            meta_path = path.replace(".orbax", "") + ".meta.json"
+            meta = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+            return {**meta, **restored}
         with open(checkpoint_path, "rb") as f:
             head = f.read(2)
         if head == b"PK" or _is_torch_file(checkpoint_path):
@@ -315,13 +356,40 @@ class BaseVLNCETrainer:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
+    # -- fixed-lane bookkeeping ----------------------------------------------------
+    # Device-side step state (RNN hidden, mapper world grid) keeps its
+    # ORIGINAL lane count for a whole eval run; when an env pauses, only
+    # the host-side lane map shrinks. The jit therefore compiles ONCE —
+    # the reference instead reshapes the batch on every pause (and a jit
+    # would recompile per batch size, ~30 s each through the TPU tunnel).
+    def _reset_lanes(self, num_lanes: int) -> None:
+        self._lane_rows = np.arange(num_lanes)
+        self._num_rows = num_lanes
+
+    def _pause_lane(self, index: int) -> None:
+        if getattr(self, "_lane_rows", None) is not None:
+            self._lane_rows = np.delete(self._lane_rows, index)
+
+    def _expand_rows(self, arr, fill=0):
+        """Scatter a live-lane host array into full-width rows."""
+        arr = np.asarray(arr)
+        rows = self._lane_rows
+        if len(rows) == self._num_rows:
+            return arr
+        full = np.full((self._num_rows,) + arr.shape[1:], fill, arr.dtype)
+        full[rows] = arr
+        return full
+
     def _policy_step(self, batch, reset_masks, rnn_states, prev_actions,
                      masks, iterative: bool):
         """Run one policy step, fusing the active mapper obs transform
         into the act executable. ``masks`` is the tuple of act masks
         ((not_done,) episodic; (agent, sim, tour, action) iterative).
         Returns (PolicyOutput, batch) — batch gains occupancy_map /
-        semantic_map when a mapper is active (device arrays)."""
+        semantic_map when a mapper is active. Inputs are live-lane
+        host arrays; rnn_states is the full-width device carry returned
+        by the previous call. actions/logits come back gathered to the
+        live lanes (numpy); occupancy/semantic stay full-width numpy."""
         # on-demand trace capture of steps [3, 23) (TPU.profile_dir)
         self._step_counter = getattr(self, "_step_counter", 0) + 1
         if self._step_counter == 3:
@@ -329,31 +397,61 @@ class BaseVLNCETrainer:
         elif self._step_counter == 23:
             profiling.maybe_stop_trace()
 
+        if getattr(self, "_lane_rows", None) is None or (
+            rnn_states.shape[0] != self._num_rows
+        ):
+            self._reset_lanes(rnn_states.shape[0])
+        rows = self._lane_rows
+
+        dobs = {
+            k: self._expand_rows(v)
+            for k, v in _device_batch(batch).items()
+        }
+        # pad masks with 0: dead rows stay reset and their prev-action
+        # embedding indexes the masked slot
+        masks_full = tuple(self._expand_rows(m) for m in masks)
+        prev_full = self._expand_rows(prev_actions)
+
         transform = self.obs_transforms[0] if self.obs_transforms else None
         if transform is None:
             act = self._act_fn(iterative)
             with profiling.range_context("policy_step"):
                 out = act(
-                    self.params, _device_batch(batch), rnn_states,
-                    prev_actions, *masks,
+                    self.params, dobs, rnn_states, prev_full, *masks_full,
                 )
-            return out, batch
-        transform.host_prepare(batch, np.asarray(reset_masks).reshape(-1))
-        fused = self._fused_act_fn(transform, iterative)
-        with profiling.range_context("fused_policy_step"):
-            state, occ, sem, out = fused(
-                self.params,
-                transform.rednet_params or {},
-                transform.state,
-                _device_batch(batch),
-                jnp.asarray(np.asarray(reset_masks, np.float32)),
-                rnn_states,
-                prev_actions,
-                *masks,
+        else:
+            transform.host_prepare(
+                batch,
+                np.asarray(reset_masks).reshape(-1),
+                rows=rows,
+                num_rows=self._num_rows,
             )
-        transform.state = state
-        batch["occupancy_map"] = occ
-        batch["semantic_map"] = sem
+            fused = self._fused_act_fn(transform, iterative)
+            reset_full = self._expand_rows(
+                np.asarray(reset_masks, np.float32).reshape(-1, 1)
+            )
+            with profiling.range_context("fused_policy_step"):
+                state, occ, sem, out = fused(
+                    self.params,
+                    transform.rednet_params or {},
+                    transform.state,
+                    dobs,
+                    jnp.asarray(reset_full.reshape(-1)),
+                    rnn_states,
+                    prev_full,
+                    *masks_full,
+                )
+            transform.state = state
+            batch["occupancy_map"] = np.asarray(occ)[rows]
+            batch["semantic_map"] = np.asarray(sem)[rows]
+
+        from ivlnce_tpu.models.policy import PolicyOutput
+
+        out = PolicyOutput(
+            actions=np.array(out.actions)[rows],
+            rnn_states=out.rnn_states,  # full-width device carry
+            logits=np.array(out.logits)[rows],
+        )
         return out, batch
 
     def _train_step_fn(self):
@@ -408,10 +506,13 @@ class BaseVLNCETrainer:
     def _pause_envs(self, envs_to_pause, envs, *arrays, batch=None,
                     rgb_frames=None):
         if len(envs_to_pause) > 0:
+            lane_mode = getattr(self, "_lane_rows", None) is not None
             state_index = list(range(envs.num_envs))
             for idx in reversed(envs_to_pause):
                 state_index.pop(idx)
                 envs.pause_at(idx)
+                if lane_mode:
+                    self._pause_lane(idx)
             keep = np.asarray(state_index, dtype=np.int64)
             arrays = tuple(np.asarray(a)[keep] for a in arrays)
             if batch is not None:
@@ -422,10 +523,12 @@ class BaseVLNCETrainer:
                         batch[k] = np.asarray(v)[keep]
             if rgb_frames is not None:
                 rgb_frames = [rgb_frames[i] for i in state_index]
-            # slice mapper state (base_il_trainer.py:296-299)
-            for transform in self.obs_transforms:
-                for idx in reversed(envs_to_pause):
-                    transform.delete_batch_idx(idx)
+            if not lane_mode:
+                # legacy path: compact mapper state with the batch
+                # (base_il_trainer.py:296-299)
+                for transform in self.obs_transforms:
+                    for idx in reversed(envs_to_pause):
+                        transform.delete_batch_idx(idx)
         return (envs,) + arrays + (batch, rgb_frames)
 
     # -- eval entry point (habitat BaseTrainer semantics) ------------------------------
@@ -621,11 +724,11 @@ class BaseVLNCETrainer:
                 for i in range(envs.num_envs)
                 if next_episodes[i]["episode_id"] in stats_episodes
             ]
+            # rnn_states stays full-width on device (fixed-lane mode)
             (
-                envs, rnn_states, not_done_masks, prev_actions, batch,
-                rgb_frames,
+                envs, not_done_masks, prev_actions, batch, rgb_frames,
             ) = self._pause_envs(
-                envs_to_pause, envs, rnn_states, not_done_masks,
+                envs_to_pause, envs, not_done_masks,
                 prev_actions, batch=batch, rgb_frames=rgb_frames,
             )
 
@@ -822,11 +925,12 @@ class BaseVLNCETrainer:
                 tour_id = next_episodes[i]["tour_id"]
                 if next_episodes[i]["episode_id"] in stats_tours[tour_id]:
                     envs_to_pause.append(i)
+            # rnn_states stays full-width on device (fixed-lane mode)
             (
-                envs, rnn_states, agent_masks, sim_masks, tour_masks,
+                envs, agent_masks, sim_masks, tour_masks,
                 action_masks, prev_actions, batch, rgb_frames,
             ) = self._pause_envs(
-                envs_to_pause, envs, rnn_states, agent_masks, sim_masks,
+                envs_to_pause, envs, agent_masks, sim_masks,
                 tour_masks, action_masks, prev_actions, batch=batch,
                 rgb_frames=rgb_frames,
             )
