@@ -205,12 +205,25 @@ def generate_video(
             for im in images:
                 writer.append_data(im)
             writer.close()
-        except Exception as e:  # codec availability varies; keep frames
-            logger.warning(f"video encode failed ({e}); saving npz")
-            np.savez_compressed(
-                os.path.join(video_dir, video_name + ".npz"),
-                frames=np.stack(images),
-            )
+        except Exception:
+            # mp4 codecs vary by image; animated GIF via PIL next
+            try:
+                from PIL import Image
+
+                frames = [Image.fromarray(im) for im in images]
+                frames[0].save(
+                    os.path.join(video_dir, video_name + ".gif"),
+                    save_all=True,
+                    append_images=frames[1:],
+                    duration=int(1000 / fps),
+                    loop=0,
+                )
+            except Exception as e:
+                logger.warning(f"video encode failed ({e}); saving npz")
+                np.savez_compressed(
+                    os.path.join(video_dir, video_name + ".npz"),
+                    frames=np.stack(images),
+                )
     if "tensorboard" in video_option:
         tb_writer.add_video_from_np_images(
             f"episode{episode_id}", checkpoint_idx, images, fps=fps
