@@ -20,15 +20,11 @@ import jax
 import numpy as np
 
 from ivlnce_tpu.envs.vector_env import construct_envs
-from ivlnce_tpu.mapping.obs_transforms import (
-    apply_obs_transforms_batch,
-    get_active_obs_transforms,
-)
+from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
 from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer, _device_batch
 from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
 from ivlnce_tpu.utils import logging_util
 from ivlnce_tpu.utils.batching import (
-    add_batched_data_to_observations,
     batch_obs,
     extract_instruction_tokens,
 )
@@ -239,9 +235,9 @@ class DaggerTrainer(BaseVLNCETrainer):
         env_class = registry.get_env(config.ENV_NAME)
         envs = construct_envs(config, env_class)
         expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
-
-        act = self._act_sample_fn()
-        encode = self._encode_features_fn()
+        self._lane_rows = None  # fresh env set per dagger iteration
+        for transform in self.obs_transforms:
+            transform.reset()
 
         rnn_states = self.policy.initial_rnn_states(envs.num_envs)
         prev_actions = np.zeros((envs.num_envs, 1), np.int64)
@@ -249,11 +245,7 @@ class DaggerTrainer(BaseVLNCETrainer):
 
         observations = envs.reset()
         observations = extract_instruction_tokens(observations)
-        observations = add_batched_data_to_observations(
-            observations, not_done_masks, "not_done_masks"
-        )
         batch = batch_obs(observations)
-        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         episodes: List[List] = [[] for _ in range(envs.num_envs)]
         skips = np.zeros(envs.num_envs, bool)
@@ -319,23 +311,18 @@ class DaggerTrainer(BaseVLNCETrainer):
 
             if ensure_unique_episodes:
                 (
-                    envs, rnn_states, not_done_masks, prev_actions, batch, _,
+                    envs, not_done_masks, prev_actions, batch, _,
                 ) = self._pause_envs(
-                    envs_to_pause, envs, rnn_states, not_done_masks,
+                    envs_to_pause, envs, not_done_masks,
                     prev_actions, batch=batch,
                 )
                 if envs.num_envs == 0:
                     break
 
-            features = encode(self.params, _device_batch(batch))
-            features = {k: np.asarray(v) for k, v in features.items()}
-            act_batch = dict(batch)
-            act_batch.update(features)
-
             rng_key, sub = jax.random.split(rng_key)
-            out = act(
-                self.params, _device_batch(act_batch), rnn_states,
-                prev_actions, not_done_masks, sub,
+            out, features, batch = self._collect_step(
+                batch, not_done_masks, rnn_states, prev_actions,
+                (not_done_masks,), sub, iterative=False,
             )
             rnn_states = out.rnn_states
             actions = np.asarray(out.actions)
@@ -392,11 +379,7 @@ class DaggerTrainer(BaseVLNCETrainer):
                 [[0] if d else [1] for d in dones], np.uint8
             )
             observations = extract_instruction_tokens(observations)
-            observations = add_batched_data_to_observations(
-                observations, not_done_masks, "not_done_masks"
-            )
             batch = batch_obs(observations)
-            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         store.sync()
         store.close()
@@ -415,6 +398,146 @@ class DaggerTrainer(BaseVLNCETrainer):
 
             self._jit_cache["act_sample"] = jax.jit(fn)
         return self._jit_cache["act_sample"]
+
+    # -- fused collection step ----------------------------------------------------
+    def _make_encode_feats(self):
+        """Frozen-encoder feature capture (the reference steals them with
+        forward hooks, dagger_trainer.py:301-323; here the SAME encoder
+        activations feed the act and the stored trajectory)."""
+        cfg = self.config.MODEL
+        has_rgb = (
+            cfg.policy_name == "LatentCMAPolicy"
+            and not cfg.RGB_ENCODER.trainable
+        )
+        cache_depth = not cfg.DEPTH_ENCODER.trainable
+
+        def encode_feats(params, obs):
+            from ivlnce_tpu.models import resnet as RN
+
+            feats = {}
+            if cache_depth and "depth" in obs:
+                feats["depth_features"] = RN.apply_vln_depth_encoder(
+                    params["depth_encoder"], obs["depth"]
+                )
+            if has_rgb and "rgb" in obs:
+                feats["rgb_features"] = (
+                    RN.apply_torchvision_resnet50_spatial(
+                        params["rgb_encoder"], obs["rgb"]
+                    )
+                )
+            return feats
+
+        return encode_feats
+
+    def _collect_fused_fn(self, transform, iterative: bool):
+        """ONE jit per collection step: mapper device step + frozen
+        feature encoders + sampling act (see base_trainer._fused_act_fn
+        for why fusion matters on this backend)."""
+        key = (
+            f"collect_{iterative}_"
+            f"{type(transform).__name__ if transform else 'none'}"
+        )
+        if key not in self._jit_cache:
+            policy = self.policy
+            encode_feats = self._make_encode_feats()
+            device_step = (
+                transform.make_device_step() if transform else None
+            )
+
+            def act(params, pobs, rnn, prev, masks, rng):
+                if iterative:
+                    return policy.act_iterative(
+                        params, pobs, rnn, prev, *masks, rng_key=rng,
+                        deterministic=False,
+                    )
+                return policy.act(
+                    params, pobs, rnn, prev, masks[0], rng_key=rng,
+                    deterministic=False,
+                )
+
+            if transform is None:
+                def fn(params, obs, rnn, prev, masks, rng):
+                    feats = encode_feats(params, obs)
+                    pobs = {**obs, **feats}
+                    out = act(params, pobs, rnn, prev, masks, rng)
+                    return feats, out
+            else:
+                def fn(params, rednet_params, state, obs, reset_masks,
+                       rnn, prev, masks, rng):
+                    feats = encode_feats(params, obs)
+                    state, occ, sem = device_step(
+                        state, obs, reset_masks, rednet_params
+                    )
+                    pobs = {**obs, **feats}
+                    pobs["occupancy_map"] = occ
+                    pobs["semantic_map"] = sem
+                    out = act(params, pobs, rnn, prev, masks, rng)
+                    return state, occ, sem, feats, out
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _collect_step(self, batch, reset_masks, rnn_states, prev_actions,
+                      masks, rng_key, iterative: bool):
+        """Fixed-lane fused collection step. Returns (PolicyOutput with
+        live-lane numpy actions/logits and the full-width rnn carry,
+        live-lane numpy features dict, batch with live-lane maps)."""
+        import jax.numpy as jnp
+
+        from ivlnce_tpu.models.policy import PolicyOutput
+
+        if getattr(self, "_lane_rows", None) is None or (
+            rnn_states.shape[0] != self._num_rows
+        ):
+            self._reset_lanes(rnn_states.shape[0])
+        rows = self._lane_rows
+
+        dobs = {
+            k: self._expand_rows(v)
+            for k, v in _device_batch(batch).items()
+        }
+        masks_full = tuple(self._expand_rows(m) for m in masks)
+        prev_full = self._expand_rows(prev_actions)
+
+        transform = self.obs_transforms[0] if self.obs_transforms else None
+        fused = self._collect_fused_fn(transform, iterative)
+        if transform is None:
+            feats, out = fused(
+                self.params, dobs, rnn_states, prev_full, masks_full,
+                rng_key,
+            )
+        else:
+            transform.host_prepare(
+                batch,
+                np.asarray(reset_masks).reshape(-1),
+                rows=rows,
+                num_rows=self._num_rows,
+            )
+            reset_full = self._expand_rows(
+                np.asarray(reset_masks, np.float32).reshape(-1, 1)
+            )
+            state, occ, sem, feats, out = fused(
+                self.params,
+                transform.rednet_params or {},
+                transform.state,
+                dobs,
+                jnp.asarray(reset_full.reshape(-1)),
+                rnn_states,
+                prev_full,
+                masks_full,
+                rng_key,
+            )
+            transform.state = state
+            batch["occupancy_map"] = np.asarray(occ)[rows]
+            batch["semantic_map"] = np.asarray(sem)[rows]
+
+        feats_np = {k: np.asarray(v)[rows] for k, v in feats.items()}
+        out = PolicyOutput(
+            actions=np.array(out.actions)[rows],
+            rnn_states=out.rnn_states,
+            logits=np.array(out.logits)[rows],
+        )
+        return out, feats_np, batch
 
     # -- training (dagger_trainer.py:506-649) --------------------------------------------
     def train(self) -> None:

@@ -17,13 +17,10 @@ import jax
 import numpy as np
 
 from ivlnce_tpu.envs.vector_env import construct_envs
-from ivlnce_tpu.mapping.obs_transforms import apply_obs_transforms_batch
-from ivlnce_tpu.trainers.base_trainer import _device_batch
 from ivlnce_tpu.trainers.dagger_trainer import DaggerTrainer
 from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
 from ivlnce_tpu.utils import logging_util
 from ivlnce_tpu.utils.batching import (
-    add_batched_data_to_observations,
     batch_obs,
     extract_instruction_tokens,
 )
@@ -71,8 +68,9 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
         envs = construct_envs(config, env_class)
         expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
 
-        act = self._act_iterative_sample_fn()
-        encode = self._encode_features_fn()
+        self._lane_rows = None  # fresh env set per dagger iteration
+        for transform in self.obs_transforms:
+            transform.reset()
 
         rnn_states = self.policy.initial_rnn_states(envs.num_envs)
         prev_actions = np.zeros((envs.num_envs, 1), np.int64)
@@ -83,11 +81,7 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
 
         observations, _, _ = (list(x) for x in zip(*envs.reset()))
         observations = extract_instruction_tokens(observations)
-        observations = add_batched_data_to_observations(
-            observations, tour_masks, "not_done_masks"
-        )
         batch = batch_obs(observations)
-        batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         episodes: List[List] = [[] for _ in range(envs.num_envs)]
         skips = np.zeros(envs.num_envs, bool)
@@ -149,25 +143,22 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
 
             if ensure_unique_episodes:
                 (
-                    envs, rnn_states, agent_masks, sim_masks, tour_masks,
+                    envs, agent_masks, sim_masks, tour_masks,
                     action_masks, prev_actions, batch, _,
                 ) = self._pause_envs(
-                    envs_to_pause, envs, rnn_states, agent_masks, sim_masks,
+                    envs_to_pause, envs, agent_masks, sim_masks,
                     tour_masks, action_masks, prev_actions, batch=batch,
                 )
                 if envs.num_envs == 0:
                     break
 
-            features = encode(self.params, _device_batch(batch))
-            features = {k: np.asarray(v) for k, v in features.items()}
-            act_batch = dict(batch)
-            act_batch.update(features)
-
             rng_key, sub = jax.random.split(rng_key)
-            out = act(
-                self.params, _device_batch(act_batch), rnn_states,
-                prev_actions, agent_masks, sim_masks, tour_masks,
-                action_masks, sub,
+            # map reset masks are TOUR masks: maps persist across the
+            # episodes of a tour during collection (reference :131-397)
+            out, features, batch = self._collect_step(
+                batch, tour_masks, rnn_states, prev_actions,
+                (agent_masks, sim_masks, tour_masks, action_masks), sub,
+                iterative=True,
             )
             rnn_states = out.rnn_states
             actions = np.asarray(out.actions)
@@ -237,11 +228,7 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
             )
 
             observations = extract_instruction_tokens(observations)
-            observations = add_batched_data_to_observations(
-                observations, tour_masks, "not_done_masks"
-            )
             batch = batch_obs(observations)
-            batch = apply_obs_transforms_batch(batch, self.obs_transforms)
 
         if save_tour_idx_data:
             store.put(0, {"tours_to_idxs": dict(tours_to_idxs)})
