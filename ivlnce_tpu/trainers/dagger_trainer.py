@@ -200,35 +200,6 @@ class DaggerTrainer(BaseVLNCETrainer):
         super()._make_dirs()
         os.makedirs(self.lmdb_features_dir, exist_ok=True)
 
-    # -- feature caching -----------------------------------------------------------
-    def _encode_features_fn(self):
-        if "encode_features" not in self._jit_cache:
-            cfg = self.config.MODEL
-            has_rgb = (
-                cfg.policy_name == "LatentCMAPolicy"
-                and not cfg.RGB_ENCODER.trainable
-            )
-            cache_depth = not cfg.DEPTH_ENCODER.trainable
-
-            def fn(params, obs):
-                from ivlnce_tpu.models import resnet as RN
-
-                out = {}
-                if cache_depth and "depth" in obs:
-                    out["depth_features"] = RN.apply_vln_depth_encoder(
-                        params["depth_encoder"], obs["depth"]
-                    )
-                if has_rgb and "rgb" in obs:
-                    out["rgb_features"] = (
-                        RN.apply_torchvision_resnet50_spatial(
-                            params["rgb_encoder"], obs["rgb"]
-                        )
-                    )
-                return out
-
-            self._jit_cache["encode_features"] = jax.jit(fn)
-        return self._jit_cache["encode_features"]
-
     # -- collection (dagger_trainer.py:251-504) ---------------------------------------
     def _update_dataset(self, data_it: int, save_tour_idx_data: bool = False):
         config = self.config
@@ -385,19 +356,6 @@ class DaggerTrainer(BaseVLNCETrainer):
         store.close()
         envs.close()
         logger.info(f"collected {collected_eps} episodes (beta={beta:.3f})")
-
-    def _act_sample_fn(self):
-        if "act_sample" not in self._jit_cache:
-            policy = self.policy
-
-            def fn(params, obs, rnn, prev, masks, key):
-                return policy.act(
-                    params, obs, rnn, prev, masks, rng_key=key,
-                    deterministic=False,
-                )
-
-            self._jit_cache["act_sample"] = jax.jit(fn)
-        return self._jit_cache["act_sample"]
 
     # -- fused collection step ----------------------------------------------------
     def _make_encode_feats(self):

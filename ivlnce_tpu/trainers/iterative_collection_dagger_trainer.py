@@ -31,19 +31,6 @@ logger = logging_util.logger
 
 @registry.register_trainer(name="iterative_collection_dagger")
 class IterativeCollectionDaggerTrainer(DaggerTrainer):
-    def _act_iterative_sample_fn(self):
-        if "act_iter_sample" not in self._jit_cache:
-            policy = self.policy
-
-            def fn(params, obs, rnn, prev, am, sm, tm, act_m, key):
-                return policy.act_iterative(
-                    params, obs, rnn, prev, am, sm, tm, act_m,
-                    rng_key=key, deterministic=False,
-                )
-
-            self._jit_cache["act_iter_sample"] = jax.jit(fn)
-        return self._jit_cache["act_iter_sample"]
-
     def _save_episode(self, store, episode, lmdb_idx, expert_uuid):
         traj_obs = batch_obs([s[0] for s in episode], ignore_keys=set())
         traj_obs.pop(expert_uuid, None)
