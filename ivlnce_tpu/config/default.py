@@ -172,10 +172,13 @@ _C.TPU.compute_dtype = "float32"
 _C.TPU.data_parallel_devices = -1
 # world voxel grid per lane: cells at half map resolution (power of two)
 _C.TPU.world_grid_cells = 1024
-# capacity of the per-frame point buffer (pixels per depth frame, padded)
-_C.TPU.use_pallas = True
-# donate step-state buffers to jit for in-place HBM reuse
-_C.TPU.donate_state = True
+# use the Pallas scatter kernel in the mapper accumulate path (falls back
+# to the XLA scatter path when Mosaic cannot lower it, e.g. interpret-only)
+_C.TPU.use_pallas = False
+# donate step-state buffers (mapper world grid, RNN carry) to jit for
+# in-place HBM reuse; default off — the axon tunnel backend rejects
+# donation (InvalidArgument), enable on directly-attached TPUs
+_C.TPU.donate_state = False
 # orbax checkpointing directory (defaults next to CHECKPOINT_FOLDER)
 _C.TPU.async_checkpointing = False
 # non-empty: capture a jax.profiler trace of the first eval/train steps

@@ -5,6 +5,7 @@ from ivlnce_tpu.models import (
     map_encoder,
     nn,
     policy,
+    rednet,
     resnet,
     rnn,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "map_encoder",
     "nn",
     "policy",
+    "rednet",
     "resnet",
     "rnn",
 ]

@@ -21,8 +21,9 @@ step inside a Python loop for the unrolled variants
 (latent_cma_policy.py:150-167).
 
 The progress-monitor auxiliary loss is computed by the trainer from the
-returned features (the reference uses a global AuxLosses singleton,
-common/aux_losses.py; see trainers/losses.py).
+returned features via ``progress_monitor_loss`` below (the reference uses
+a global AuxLosses singleton, common/aux_losses.py; our functional
+replacement lives in trainers/base_trainer.py make_train_step).
 """
 
 from __future__ import annotations

@@ -40,7 +40,10 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
     if name in _CACHE:
         return _CACHE[name]
     path = os.path.join(_NATIVE_DIR, name)
-    if not os.path.exists(path) and not build():
+    # Always run the (incremental) build: binaries are not committed, and
+    # make rebuilds a stale .so whenever its source changed, so a leftover
+    # binary can never shadow the in-tree C++ sources.
+    if not build() and not os.path.exists(path):
         _CACHE[name] = None
         return None
     try:

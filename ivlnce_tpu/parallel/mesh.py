@@ -56,27 +56,27 @@ def batch_sharding(mesh: Mesh, batch_axis: int = 0, ndim: int = 1):
 
 def param_shardings(params, mesh: Mesh, min_weight_size: int = 1 << 15):
     """Tensor-parallel sharding rule for a parameter (or optimizer-state)
-    pytree: big >=2D weights shard their leading (output) axis over
-    ``model`` when divisible; everything else replicates.
+    pytree: big weights shard their OUTPUT-channel axis over ``model`` when
+    divisible; everything else replicates.
 
-    Output-axis sharding is the column-parallel half of the Megatron
-    split: y = W x with W row-sharded produces y sharded over ``model``;
-    XLA all-gathers y where a replicated consumer needs it.
+    The output axis position depends on layout: 2D matmul weights are
+    (out, in) — axis 0; 4D conv kernels are stored HWIO (checkpoint_io
+    transposes torch OIHW -> HWIO) — axis -1. Output-axis sharding is the
+    column-parallel half of the Megatron split: y = W x with W out-sharded
+    produces y sharded over ``model``; XLA all-gathers y where a
+    replicated consumer needs it.
     """
     m = mesh.shape["model"]
 
     def rule(x):
         shape = getattr(x, "shape", ())
         size = int(np.prod(shape)) if shape else 0
-        if (
-            m > 1
-            and len(shape) >= 2
-            and size >= min_weight_size
-            and shape[0] % m == 0
-        ):
-            return NamedSharding(
-                mesh, P(*(("model",) + (None,) * (len(shape) - 1)))
-            )
+        if m > 1 and len(shape) >= 2 and size >= min_weight_size:
+            out_axis = len(shape) - 1 if len(shape) == 4 else 0
+            if shape[out_axis] % m == 0:
+                spec = [None] * len(shape)
+                spec[out_axis] = "model"
+                return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, params)

@@ -175,6 +175,11 @@ def _dtw_with_path(x, y, window, dist):
                 candidates.append((D[(pi, pj)][0] + dt, pi, pj))
         if candidates:
             D[(i, j)] = min(candidates, key=lambda t: t[0])
+    if (len_x, len_y) not in D:
+        # the expanded window failed to connect (0,0) to (len_x,len_y) —
+        # cannot happen with the contiguous windows _expand_window builds,
+        # but guard with an exact full-grid DP rather than KeyError
+        return _dtw_with_path(x, y, None, dist)
     path = []
     i, j = len_x, len_y
     while (i, j) != (0, 0):

@@ -53,11 +53,17 @@ EVAL_METRICS = (
 )
 
 
-def make_train_step(policy, optimizer, use_progress: bool, alpha: float):
+def make_train_step(policy, optimizer, use_progress: bool, alpha: float,
+                    update_map_bn: bool = False):
     """Build the un-jitted BPTT train step (inflection-weighted CE +
     progress-monitor aux, base_il_trainer.py:173-219). The trainer jits it
     plain; parallel.sharded_train_step jits it over a device mesh — both
     share this exact compute graph.
+
+    update_map_bn replicates torch train-mode BatchNorm semantics for the
+    trainable map encoder (reference map_encoder.py:8-23): every training
+    forward also folds momentum-updated running statistics back into the
+    params so later eval-mode forwards normalize with trained stats.
     """
 
     def loss_fn(params, observations, prev_actions, episode_masks,
@@ -97,6 +103,17 @@ def make_train_step(policy, optimizer, use_progress: bool, alpha: float):
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if update_map_bn:
+            from ivlnce_tpu.models.map_encoder import map_encoder_new_stats
+
+            params = {
+                **params,
+                "map_encoder": map_encoder_new_stats(
+                    params["map_encoder"],
+                    observations["occupancy_map"],
+                    observations["semantic_map"],
+                ),
+            }
         return (
             params, opt_state, action_loss + aux_loss, action_loss,
             aux_loss, rnn_out,
@@ -297,22 +314,40 @@ class BaseVLNCETrainer:
             return pickle.load(f)
 
     # -- jit caches -------------------------------------------------------------------
+    def _eval_sample(self) -> bool:
+        """EVAL.SAMPLE: sample actions instead of argmax during eval
+        (base_il_trainer.py:452,699)."""
+        return bool(self.config.EVAL.SAMPLE)
+
+    def _step_key_data(self) -> np.ndarray:
+        """Raw uint32[2] PRNG key material for one sampling step, derived
+        host-side (seed, step counter) — no eager device RNG ops, which are
+        pathologically slow over the TPU tunnel."""
+        return np.array(
+            [self.config.TASK_CONFIG.SEED, self._step_counter], np.uint32
+        )
+
     def _act_fn(self, iterative: bool):
         key = f"act_{iterative}"
         if key not in self._jit_cache:
             policy = self.policy
+            sample = self._eval_sample()
             if iterative:
-                def fn(params, obs, rnn, prev, am, sm, tm, act_m):
+                def fn(params, obs, rnn, prev, am, sm, tm, act_m, key_data):
+                    rng = jax.random.wrap_key_data(key_data) if sample else None
                     return policy.act_iterative(
                         params, obs, rnn, prev, am, sm, tm, act_m,
-                        deterministic=True,
+                        rng_key=rng, deterministic=not sample,
                     )
             else:
-                def fn(params, obs, rnn, prev, masks):
+                def fn(params, obs, rnn, prev, masks, key_data):
+                    rng = jax.random.wrap_key_data(key_data) if sample else None
                     return policy.act(
-                        params, obs, rnn, prev, masks, deterministic=True
+                        params, obs, rnn, prev, masks, rng_key=rng,
+                        deterministic=not sample,
                     )
-            self._jit_cache[key] = jax.jit(fn)
+            donate = (2,) if self.config.TPU.donate_state else ()
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._jit_cache[key]
 
     def _fused_act_fn(self, transform, iterative: bool):
@@ -324,10 +359,12 @@ class BaseVLNCETrainer:
         if key not in self._jit_cache:
             device_step = transform.make_device_step()
             policy = self.policy
+            sample = self._eval_sample()
 
             if iterative:
                 def fn(params, rednet_params, state, obs, reset_masks,
-                       rnn, prev, am, sm, tm, act_m):
+                       rnn, prev, am, sm, tm, act_m, key_data):
+                    rng = jax.random.wrap_key_data(key_data) if sample else None
                     state, occ, sem = device_step(
                         state, obs, reset_masks, rednet_params
                     )
@@ -336,12 +373,13 @@ class BaseVLNCETrainer:
                     pobs["semantic_map"] = sem
                     out = policy.act_iterative(
                         params, pobs, rnn, prev, am, sm, tm, act_m,
-                        deterministic=True,
+                        rng_key=rng, deterministic=not sample,
                     )
                     return state, occ, sem, out
             else:
                 def fn(params, rednet_params, state, obs, reset_masks,
-                       rnn, prev, masks):
+                       rnn, prev, masks, key_data):
+                    rng = jax.random.wrap_key_data(key_data) if sample else None
                     state, occ, sem = device_step(
                         state, obs, reset_masks, rednet_params
                     )
@@ -349,11 +387,16 @@ class BaseVLNCETrainer:
                     pobs["occupancy_map"] = occ
                     pobs["semantic_map"] = sem
                     out = policy.act(
-                        params, pobs, rnn, prev, masks, deterministic=True
+                        params, pobs, rnn, prev, masks, rng_key=rng,
+                        deterministic=not sample,
                     )
                     return state, occ, sem, out
 
-            self._jit_cache[key] = jax.jit(fn)
+            # donate the mapper world-grid state (arg 2) and the RNN carry
+            # (arg 5) so XLA reuses their HBM in place; TPU.donate_state
+            # defaults off because the axon tunnel backend rejects donation
+            donate = (2, 5) if self.config.TPU.donate_state else ()
+            self._jit_cache[key] = jax.jit(fn, donate_argnums=donate)
         return self._jit_cache[key]
 
     # -- fixed-lane bookkeeping ----------------------------------------------------
@@ -412,12 +455,14 @@ class BaseVLNCETrainer:
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
 
+        key_data = self._step_key_data()
         transform = self.obs_transforms[0] if self.obs_transforms else None
         if transform is None:
             act = self._act_fn(iterative)
             with profiling.range_context("policy_step"):
                 out = act(
                     self.params, dobs, rnn_states, prev_full, *masks_full,
+                    key_data,
                 )
         else:
             transform.host_prepare(
@@ -440,6 +485,7 @@ class BaseVLNCETrainer:
                     rnn_states,
                     prev_full,
                     *masks_full,
+                    key_data,
                 )
             transform.state = state
             batch["occupancy_map"] = np.asarray(occ)[rows]
@@ -462,6 +508,10 @@ class BaseVLNCETrainer:
                     self.optimizer,
                     self.config.MODEL.PROGRESS_MONITOR.use,
                     self.config.MODEL.PROGRESS_MONITOR.alpha,
+                    update_map_bn=(
+                        self.config.MODEL.policy_name == "MapCMAPolicy"
+                        and self.config.MODEL.SEMANTIC_MAP_ENCODER.trainable
+                    ),
                 )
             )
         return self._jit_cache["train_step"]
@@ -561,6 +611,35 @@ class BaseVLNCETrainer:
     def inference(self) -> None:
         raise NotImplementedError
 
+    def _setup_eval_config(self, checkpoint_config):
+        """Merge a checkpoint's saved config under the eval config
+        (habitat-lab BaseRLTrainer._setup_eval_config semantics; overwrite
+        priority: eval_opts > ckpt_opts > eval_cfg > ckpt_cfg)."""
+        from ivlnce_tpu.config.node import ConfigNode as CN
+
+        if isinstance(checkpoint_config, dict):
+            checkpoint_config = CN(checkpoint_config)
+        config = self.config.clone()
+        ckpt_cmd_opts = list(checkpoint_config.CMD_TRAILING_OPTS) if (
+            "CMD_TRAILING_OPTS" in checkpoint_config
+        ) else []
+        eval_cmd_opts = list(config.CMD_TRAILING_OPTS)
+        try:
+            config.merge_from_other_cfg(checkpoint_config)
+            config.merge_from_other_cfg(self.config)
+            config.merge_from_list(ckpt_cmd_opts)
+            config.merge_from_list(eval_cmd_opts)
+        except KeyError:
+            logger.info("Saved config is outdated, using solely eval config")
+            config = self.config.clone()
+            config.merge_from_list(eval_cmd_opts)
+        if config.TASK_CONFIG.DATASET.SPLIT == "train":
+            config.TASK_CONFIG.DATASET.SPLIT = "val"
+        config.TASK_CONFIG.SIMULATOR.AGENT_0.SENSORS = list(
+            self.config.SENSORS
+        )
+        return config
+
     # -- episodic eval (base_il_trainer.py:313-583) --------------------------------------
     def _eval_checkpoint(
         self,
@@ -581,7 +660,12 @@ class BaseVLNCETrainer:
             return
 
         logger.info(f"checkpoint_path: {checkpoint_path}")
-        config = self.config.clone()
+        if self.config.EVAL.USE_CKPT_CONFIG:
+            config = self._setup_eval_config(
+                self.load_checkpoint(checkpoint_path).get("config", {})
+            )
+        else:
+            config = self.config.clone()
         config.TASK_CONFIG.DATASET.SPLIT = config.EVAL.SPLIT
         config.TASK_CONFIG.DATASET.ROLES = ["guide"]
         config.TASK_CONFIG.DATASET.LANGUAGES = config.EVAL.LANGUAGES

@@ -287,6 +287,21 @@ class DaggerTrainer(BaseVLNCETrainer):
                     envs_to_pause, envs, not_done_masks,
                     prev_actions, batch=batch,
                 )
+                if envs_to_pause:
+                    # compact the host-side per-lane lists too. The
+                    # reference keeps them at pre-pause width and indexes
+                    # them with the compacted lane index (a latent
+                    # wrong-lane bug, dagger_trainer.py:330-340); we
+                    # deliberately diverge and keep lanes aligned.
+                    keep = [
+                        i
+                        for i in range(len(episodes))
+                        if i not in envs_to_pause
+                    ]
+                    episodes = [episodes[i] for i in keep]
+                    observations = [observations[i] for i in keep]
+                    dones = [dones[i] for i in keep]
+                    skips = skips[np.asarray(keep, dtype=np.int64)]
                 if envs.num_envs == 0:
                     break
 

@@ -11,6 +11,13 @@ import os
 def setup_jax(cache_dir: str = None) -> None:
     import jax
 
+    # IVLNCE_PLATFORM=cpu forces the backend even when a site hook has
+    # already overridden jax_platforms (env JAX_PLATFORMS alone loses to
+    # sitecustomize on axon images); must run before first backend use
+    platform = os.environ.get("IVLNCE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = cache_dir or os.environ.get(
         "IVLNCE_JAX_CACHE",
         os.path.join(
