@@ -144,9 +144,13 @@ class WorldRobotOrientationSensor(Sensor):
 
 @registry.register_sensor(name="Semantic12Sensor")
 class Semantic12Sensor(Sensor):
-    """12-class whitelist semantics. With habitat, instance ids map
-    through mpcat40/raw names (sensors.py:253-329); FakeSim already emits
-    whitelist labels, so this is a passthrough of its semantic12 frame."""
+    """12-class whitelist semantics (reference sensors.py:253-329).
+
+    Three sources, in order: (1) the sim already emits ``semantic12``
+    (FakeSim, and HabitatSimAdapter which maps per scene); (2) the obs
+    carry a raw instance-id ``semantic`` frame and the sim exposes
+    ``semantic_annotations()`` — map through mpcat40/raw category names
+    with a per-scene LUT; (3) neither -> error."""
 
     cls_uuid = "semantic12"
 
@@ -155,9 +159,26 @@ class Semantic12Sensor(Sensor):
         "sofa", "table", "chair", "cabinet", "plant", "counter", "sink",
     ]
 
+    def __init__(self, sim=None, config=None, **kwargs):
+        super().__init__(sim=sim, config=config, **kwargs)
+        self._mapping = None
+        self._mapping_scene = None
+
     def get_observation(self, observations, episode, **kwargs):
         if "semantic12" in observations:
             return observations["semantic12"]
+        if "semantic" in observations and hasattr(
+            self._sim, "semantic_annotations"
+        ):
+            from ivlnce_tpu.envs.habitat_backend import Semantic12Mapping
+
+            scene = getattr(episode, "scene_id", None)
+            if self._mapping is None or self._mapping_scene != scene:
+                self._mapping = Semantic12Mapping(
+                    self._sim.semantic_annotations()
+                )
+                self._mapping_scene = scene
+            return self._mapping(observations["semantic"])
         raise RuntimeError(
             "Semantic12Sensor requires a sim emitting semantic12 frames or "
             "a habitat semantic sensor + annotations."
