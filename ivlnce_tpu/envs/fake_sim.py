@@ -310,6 +310,37 @@ class FakeSim:
         bot = c[2] * (1 - wj) + c[3] * wj
         return float(top * (1 - wi) + bot * wi)
 
+    def get_straight_shortest_path_points(self, position_a, position_b):
+        """World waypoints of the shortest path (habitat pathfinder
+        find_path().points equivalent): greedy descent of the BFS
+        distance field in half-cell steps."""
+        a = np.asarray(position_a, float)
+        b = np.asarray(position_b, float)
+        field = self.scene.distance_field((float(b[0]), float(b[2])))
+        pts = [[float(a[0]), 0.0, float(a[2])]]
+        x, z = float(a[0]), float(a[2])
+        step = NAV_CELL / 2
+        for _ in range(2048):
+            if np.hypot(x - b[0], z - b[2]) <= step:
+                break
+            best, bx, bz = None, x, z
+            for dx, dz in (
+                (step, 0), (-step, 0), (0, step), (0, -step),
+                (step, step), (step, -step), (-step, step), (-step, -step),
+            ):
+                nx, nz = x + dx, z + dz
+                if not self.scene.is_navigable_xz(nx, nz):
+                    continue
+                d = self._sample_field(field, nx, nz)
+                if best is None or d < best:
+                    best, bx, bz = d, nx, nz
+            if best is None or (bx == x and bz == z):
+                break
+            x, z = bx, bz
+            pts.append([x, 0.0, z])
+        pts.append([float(b[0]), 0.0, float(b[2])])
+        return pts
+
     def is_navigable(self, position) -> bool:
         p = np.asarray(position, float)
         return self.scene.is_navigable_xz(float(p[0]), float(p[2]))

@@ -332,6 +332,16 @@ class HabitatSimAdapter:
             )
         )
 
+    def get_straight_shortest_path_points(self, position_a, position_b):
+        """Navmesh shortest-path waypoints (reference measures.py:318-326
+        uses sim.get_straight_shortest_path_points)."""
+        hsim = self._hsim
+        path = hsim.ShortestPath()
+        path.requested_start = np.asarray(position_a, np.float32)
+        path.requested_end = np.asarray(position_b, np.float32)
+        self._sim.pathfinder.find_path(path)
+        return [list(np.asarray(p, float)) for p in path.points]
+
     def sample_navigable_point(self) -> List[float]:
         return list(
             np.asarray(

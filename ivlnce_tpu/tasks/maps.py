@@ -32,7 +32,17 @@ MAP_SHORTEST_PATH_WAYPOINT = 14
 MAP_REFERENCE_POINT = 17
 MAP_AGENT_SPRITE = 20
 
+# trail thickness divisor (reference maps.py:14)
+MAP_THICKNESS_SCALAR = 128
+
 TOP_DOWN_MAP_COLORS = np.full((256, 3), 150, dtype=np.uint8)
+# indices >= 15 form the agent-trail gradient (reference maps.py:30-33
+# uses a JET colormap over 15..255; a blue->red ramp keeps the same
+# "early steps cold, late steps hot" reading without cv2's colormap)
+_ramp = np.linspace(0.0, 1.0, 241)[:, None]
+TOP_DOWN_MAP_COLORS[15:] = (
+    np.array([[0, 60, 220]]) * (1 - _ramp) + np.array([[220, 40, 0]]) * _ramp
+).astype(np.uint8)
 TOP_DOWN_MAP_COLORS[MAP_INVALID_POINT] = [255, 255, 255]  # white
 TOP_DOWN_MAP_COLORS[MAP_VALID_POINT] = [150, 150, 150]  # gray
 TOP_DOWN_MAP_COLORS[MAP_BORDER_INDICATOR] = [50, 50, 50]  # dark gray
@@ -208,6 +218,72 @@ def load_connectivity_graph(
             if connected and j < len(data) and data[j].get("included", True):
                 graph.add_edge(item["image_id"], data[j]["image_id"])
     return graph
+
+
+def reveal_fog_of_war(
+    top_down_map: np.ndarray,
+    fog_of_war_mask: np.ndarray,
+    current_point: Sequence[int],
+    current_angle: float,
+    fov: float = 90.0,
+    max_line_len: float = 100.0,
+) -> np.ndarray:
+    """FOV-shaped fog-of-war reveal (habitat's fog_of_war.reveal_fog_of_war
+    semantics, consumed by the reference measure, measures.py:294-305,
+    423-434): cast rays across the [angle - fov/2, angle + fov/2] cone
+    from the agent cell; each ray reveals cells until it leaves the map,
+    exceeds ``max_line_len``, or passes a non-navigable cell.
+
+    ``current_point`` is (row, col); ``current_angle`` is the polar angle
+    where the ray direction is (cos a, sin a) in (row, col) space.
+    Vectorized over rays x steps instead of habitat's numba loop.
+    """
+    h, w = top_down_map.shape[:2]
+    half = np.radians(fov) / 2.0
+    # enough rays that adjacent rays are < 1 cell apart at max range
+    n_rays = max(8, int(np.ceil(2 * half * max_line_len)) * 2)
+    angles = current_angle + np.linspace(-half, half, n_rays)
+    steps = np.arange(0.0, float(max_line_len), 0.5)
+    rr = current_point[0] + np.cos(angles)[:, None] * steps[None, :]
+    cc = current_point[1] + np.sin(angles)[:, None] * steps[None, :]
+    ri = np.clip(np.round(rr).astype(np.int64), 0, h - 1)
+    ci = np.clip(np.round(cc).astype(np.int64), 0, w - 1)
+    in_bounds = (
+        (rr >= -0.5) & (rr < h - 0.5) & (cc >= -0.5) & (cc < w - 0.5)
+    )
+    navigable = top_down_map[ri, ci] != MAP_INVALID_POINT
+    # a ray survives while every previous cell (inclusive) was navigable
+    # and in bounds; the first blocked cell is still revealed (habitat
+    # reveals the obstacle cell the ray terminates on)
+    ok = in_bounds & navigable
+    alive = np.cumprod(ok.astype(np.uint8), axis=1).astype(bool)
+    reveal = alive.copy()
+    reveal[:, 1:] |= alive[:, :-1] & in_bounds[:, 1:]  # terminal cell
+    fog_of_war_mask[ri[reveal], ci[reveal]] = 1
+    return fog_of_war_mask
+
+
+def draw_mp3d_nodes(
+    img: np.ndarray,
+    graph,
+    start_position: Sequence[float],
+    world_to_grid,
+    meters_per_px: float,
+) -> None:
+    """Paint MP3D connectivity nodes near the episode's floor
+    (reference maps.py:321-343: nodes within 1 m of the start node's
+    height, only over valid map cells)."""
+    n = get_nearest_node(
+        graph, np.array([start_position[0], start_position[2]])
+    )
+    starting_height = graph.nodes[n]["position"][1]
+    pad = max(1, int(0.3 / max(meters_per_px, 1e-6)))
+    for node in graph:
+        pos = graph.nodes[node]["position"]
+        if abs(pos[1] - starting_height) < 1.0:
+            r, c = world_to_grid(pos[0], pos[2])
+            if 0 <= r < img.shape[0] and 0 <= c < img.shape[1] and img[r, c]:
+                drawpoint(img, (r, c), MAP_MP3D_WAYPOINT, pad)
 
 
 def get_nearest_node(graph, current_position: np.ndarray) -> str:

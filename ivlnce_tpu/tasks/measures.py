@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -293,21 +294,38 @@ class SDTW(Measure):
 
 @registry.register_measure(name="TopDownMapVLNCE")
 class TopDownMapVLNCE(Measure):
-    """Drawn top-down map with agent trail, fog of war, source/target,
-    reference path and border (reference measures.py:233-478). The metric
-    is a dict consumed by utils/viz.observations_to_image. MP3D node
-    drawing activates only when a connectivity graph exists for the scene
-    (the fake backend ships none)."""
+    """Drawn top-down map (reference measures.py:233-478): border,
+    FOV-shaped fog of war, gradient agent trail, straight shortest-path
+    overlay, dashed reference path, source/target markers, and — when a
+    connectivity graph is available (GRAPHS_FILE pickle or per-scene
+    connectivity JSONs) — MP3D node drawing plus the nearest-node agent
+    path. The metric dict is consumed by utils/viz.observations_to_image.
+    """
 
     cls_uuid = "top_down_map_vlnce"
 
     def __init__(self, sim=None, config=None, task_config=None, **kwargs):
         super().__init__(sim=sim, config=config, task_config=task_config)
         self._res = config.MAP_RESOLUTION if config is not None else 1024
+        self._max_episode_steps = (
+            config.MAX_EPISODE_STEPS if config is not None else 1000
+        )
         self._map = None
         self._fog = None
         self._bounds = None
+        self._meters_per_px = None
         self._step_count = 0
+        self._previous_xy_location = None
+        self._graph = None
+        self._graphs_cache = None
+        self._nearest_node = None
+        self._node_rc = None
+
+    def _cfg(self, key, default):
+        return (
+            getattr(self._config, key) if self._config is not None
+            else default
+        )
 
     def _world_to_grid(self, x: float, z: float):
         from ivlnce_tpu.tasks import maps as maps_util
@@ -315,6 +333,43 @@ class TopDownMapVLNCE(Measure):
         return maps_util.static_to_grid(
             z, x, self._map.shape[:2], self._bounds
         )
+
+    def get_polar_angle(self) -> float:
+        """Reference measures.py:386-398: angle of the agent's forward
+        (-z rotated by the inverse agent rotation) in map polar space,
+        plus the z/-z flip."""
+        q = np.asarray(self._sim.get_agent_state().rotation, np.float64)
+        x, y, z, w = q
+        # heading_vector = R(q)^{-1} @ [0, 0, -1] = -(third row of R(q)):
+        # hv = (2(wy - xz), -2(yz + wx), -(1 - 2(x^2 + y^2)))
+        hx = 2.0 * (w * y - x * z)
+        hz = -(1.0 - 2.0 * (x * x + y * y))
+        phi = np.arctan2(hx, -hz)
+        # for a pure yaw this is heading + pi — exactly the (row, col)
+        # grid-space forward direction used by reveal_fog_of_war
+        return float(phi + np.pi)
+
+    def _load_graph(self, episode):
+        """GRAPHS_FILE pickle {scene: nx.Graph} (reference layout) or a
+        per-scene connectivity JSON directory; None when absent."""
+        from ivlnce_tpu.tasks import maps as maps_util
+
+        scene = os.path.basename(
+            str(getattr(episode, "scene_id", ""))
+        ).split(".")[0]
+        graphs_file = self._cfg("GRAPHS_FILE", "")
+        if graphs_file and os.path.exists(graphs_file):
+            if self._graphs_cache is None:
+                import pickle
+
+                with open(graphs_file, "rb") as f:
+                    self._graphs_cache = pickle.load(f)
+            return self._graphs_cache.get(scene)
+        conn_dir = os.path.join(
+            os.path.dirname(graphs_file) if graphs_file else "data",
+            "connectivity",
+        )
+        return maps_util.load_connectivity_graph(conn_dir, scene)
 
     def reset_metric(self, episode, measurements, **kwargs):
         from ivlnce_tpu.tasks import maps as maps_util
@@ -326,73 +381,218 @@ class TopDownMapVLNCE(Measure):
         base = self._sim.get_topdown_map(self._res)
         lower, upper = self._sim.get_bounds()
         self._bounds = {"lower": lower, "upper": upper}
+        self._meters_per_px = (
+            abs(float(upper[0]) - float(lower[0])) / base.shape[1]
+        )
         self._map = base.copy()
-        if self._config is None or self._config.DRAW_BORDER:
-            # mark navigable/non-navigable boundary cells
-            import numpy as _np
-
+        if self._cfg("DRAW_BORDER", True):
             nav = base > 0
             edge = nav & ~(
-                _np.roll(nav, 1, 0) & _np.roll(nav, -1, 0)
-                & _np.roll(nav, 1, 1) & _np.roll(nav, -1, 1)
+                np.roll(nav, 1, 0) & np.roll(nav, -1, 0)
+                & np.roll(nav, 1, 1) & np.roll(nav, -1, 1)
             )
             self._map[edge] = maps_util.MAP_BORDER_INDICATOR
         self._fog = np.zeros(self._map.shape[:2], np.uint8)
 
-        if (
-            self._config is None or self._config.DRAW_REFERENCE_PATH
-        ) and getattr(episode, "reference_path", None):
+        state = self._sim.get_agent_state()
+        a_r, a_c = self._world_to_grid(
+            state.position[0], state.position[2]
+        )
+        self._previous_xy_location = (a_c, a_r)
+
+        if self._cfg("FOG_OF_WAR", None) is None or self._config.FOG_OF_WAR.DRAW:
+            self._fog = maps_util.reveal_fog_of_war(
+                self._map,
+                self._fog,
+                (a_r, a_c),
+                self.get_polar_angle(),
+                fov=self._cfg("FOG_OF_WAR", None).FOV
+                if self._config is not None else 90.0,
+                max_line_len=(
+                    self._cfg("FOG_OF_WAR", None).VISIBILITY_DIST
+                    if self._config is not None else 5.0
+                ) / self._meters_per_px,
+            )
+
+        self._graph = None
+        self._nearest_node = None
+        if self._cfg("DRAW_FIXED_WAYPOINTS", True) or self._cfg(
+            "DRAW_MP3D_AGENT_PATH", True
+        ):
+            self._graph = self._load_graph(episode)
+        if self._graph is not None and self._cfg(
+            "DRAW_FIXED_WAYPOINTS", True
+        ):
+            maps_util.draw_mp3d_nodes(
+                self._map,
+                self._graph,
+                episode.start_position,
+                self._world_to_grid,
+                self._meters_per_px,
+            )
+
+        if self._cfg("DRAW_SHORTEST_PATH", True) and hasattr(
+            self._sim, "get_straight_shortest_path_points"
+        ):
+            pts = self._sim.get_straight_shortest_path_points(
+                state.position, episode.goals[0].position
+            )
+            grid_pts = [self._world_to_grid(p[0], p[2]) for p in pts]
+            maps_util.draw_path(
+                self._map,
+                grid_pts,
+                maps_util.MAP_SHORTEST_PATH_WAYPOINT,
+                max(
+                    1,
+                    int(0.4 * self._res / maps_util.MAP_THICKNESS_SCALAR),
+                ),
+                style="filled",
+            )
+
+        if self._cfg("DRAW_REFERENCE_PATH", True) and getattr(
+            episode, "reference_path", None
+        ):
             pts = [
                 self._world_to_grid(p[0], p[2])
                 for p in episode.reference_path
             ]
-            maps_util.draw_path(
-                self._map, pts, maps_util.MAP_REFERENCE_POINT, 1
+            thickness = max(
+                1, int(0.4 * self._res / maps_util.MAP_THICKNESS_SCALAR)
             )
-        if self._config is None or self._config.DRAW_SOURCE_AND_TARGET:
+            maps_util.draw_path(
+                self._map,
+                pts,
+                maps_util.MAP_SHORTEST_PATH_WAYPOINT,
+                thickness,
+                style="dashed",
+            )
+            pad = max(1, int(0.3 / self._meters_per_px))
+            for p in pts:
+                maps_util.drawpoint(
+                    self._map, p, maps_util.MAP_SHORTEST_PATH_WAYPOINT, pad
+                )
+
+        # source and target last to avoid overlap (measures.py:337-344)
+        if self._cfg("DRAW_SOURCE_AND_TARGET", True):
             src = self._world_to_grid(
                 episode.start_position[0], episode.start_position[2]
             )
             tgt = self._world_to_grid(
                 episode.goals[0].position[0], episode.goals[0].position[2]
             )
-            maps_util.draw_source_and_target(self._map, src, tgt)
+            pad = max(1, int(0.3 / self._meters_per_px))
+            maps_util.drawpoint(
+                self._map, src, maps_util.MAP_SOURCE_POINT_INDICATOR, pad
+            )
+            maps_util.drawpoint(
+                self._map, tgt, maps_util.MAP_TARGET_POINT_INDICATOR, pad
+            )
+
+        if self._graph is not None:
+            self._nearest_node = maps_util.get_nearest_node(
+                self._graph,
+                np.array(
+                    [episode.start_position[0], episode.start_position[2]]
+                ),
+            )
+            npos = self._graph.nodes[self._nearest_node]["position"]
+            self._node_rc = self._world_to_grid(npos[0], npos[2])
+
         self.update_metric(episode=episode, measurements=measurements)
 
     def update_metric(self, episode, measurements, **kwargs):
         if self._map is None:
             return
-        from ivlnce_tpu.ops.geometry import heading_from_quaternion
+        from ivlnce_tpu.tasks import maps as maps_util
 
         self._step_count += 1
         state = self._sim.get_agent_state()
         r, c = self._world_to_grid(state.position[0], state.position[2])
         r = int(np.clip(r, 0, self._map.shape[0] - 1))
         c = int(np.clip(c, 0, self._map.shape[1] - 1))
-        # fog of war: reveal a visibility disk around the agent
-        vis_m = (
-            self._config.FOG_OF_WAR.VISIBILITY_DIST
-            if self._config is not None
-            else 5.0
-        )
-        cell_m = abs(
-            self._bounds["upper"][0] - self._bounds["lower"][0]
-        ) / self._map.shape[1]
-        rad = max(1, int(vis_m / max(cell_m, 1e-6)))
-        rr0, rr1 = max(0, r - rad), min(self._map.shape[0], r + rad + 1)
-        cc0, cc1 = max(0, c - rad), min(self._map.shape[1], c + rad + 1)
-        yy, xx = np.ogrid[rr0:rr1, cc0:cc1]
-        self._fog[rr0:rr1, cc0:cc1] |= (
-            (yy - r) ** 2 + (xx - c) ** 2 <= rad * rad
-        ).astype(np.uint8)
 
-        q = state.rotation
-        agent_angle = heading_from_quaternion(q[0], q[1], q[2], q[3])
+        # gradient agent trail (measures.py:402-419); never over source
+        gradient_color = 15 + min(
+            self._step_count * 245 // max(self._max_episode_steps, 1), 245
+        )
+        if (
+            self._map[r, c] != maps_util.MAP_SOURCE_POINT_INDICATOR
+            and self._previous_xy_location is not None
+        ):
+            maps_util.drawline(
+                self._map,
+                self._previous_xy_location,
+                (c, r),
+                gradient_color,
+                thickness=max(
+                    1,
+                    int(
+                        self._res * 1.4 / maps_util.MAP_THICKNESS_SCALAR
+                    ),
+                ),
+                style="filled",
+            )
+
+        if (
+            self._config is None or self._config.FOG_OF_WAR.DRAW
+        ) and self._fog is not None:
+            self._fog = maps_util.reveal_fog_of_war(
+                self._map,
+                self._fog,
+                (r, c),
+                self.get_polar_angle(),
+                fov=self._config.FOG_OF_WAR.FOV
+                if self._config is not None else 90.0,
+                max_line_len=(
+                    self._config.FOG_OF_WAR.VISIBILITY_DIST
+                    if self._config is not None else 5.0
+                ) / self._meters_per_px,
+            )
+
+        # nearest-MP3D-node agent path (measures.py:437-476)
+        if self._graph is not None and self._nearest_node is not None:
+            prev = self._nearest_node
+            self._nearest_node = maps_util.update_nearest_node(
+                self._graph,
+                self._nearest_node,
+                np.array([state.position[0], state.position[2]]),
+            )
+            if prev != self._nearest_node and self._cfg(
+                "DRAW_MP3D_AGENT_PATH", True
+            ):
+                npos = self._graph.nodes[self._nearest_node]["position"]
+                prev_rc = self._node_rc
+                self._node_rc = self._world_to_grid(npos[0], npos[2])
+                nr, nc = self._node_rc
+                pp = max(1, int(2.0 / 3.0 * 0.2 / self._meters_per_px))
+                self._map[
+                    max(0, nr - pp):nr + pp + 1, max(0, nc - pp):nc + pp + 1
+                ] = gradient_color
+                maps_util.drawline(
+                    self._map,
+                    (prev_rc[1], prev_rc[0]),
+                    (nc, nr),
+                    gradient_color,
+                    thickness=max(
+                        1,
+                        int(
+                            0.5
+                            * round(
+                                self._res / maps_util.MAP_THICKNESS_SCALAR
+                            )
+                        ),
+                    ),
+                    style="filled",
+                )
+
+        self._previous_xy_location = (c, r)
         self._metric = {
             "map": self._map,
             "fog_of_war_mask": self._fog,
             "agent_map_coord": (r, c),
-            "agent_angle": float(agent_angle),
+            "agent_angle": self.get_polar_angle(),
+            "bounds": self._bounds,
+            "meters_per_px": self._meters_per_px,
         }
 
 
