@@ -158,11 +158,77 @@ def load_map_encoder(path: str) -> Params:
     return {"cnn": convert_state_dict(state)}
 
 
+# reference rgb_encoder.cnn is Sequential(*resnet.children()[:-1])
+# (resnet_encoders.py:139): positional indices -> torchvision stage names
+# (2=relu / 3=maxpool have no parameters)
+_RESNET_SEQ_TO_NAME = {
+    "0": "conv1", "1": "bn1",
+    "4": "layer1", "5": "layer2", "6": "layer3", "7": "layer4",
+}
+
+# kernel-size-1 Conv1d attention projections: torch stores (out, in, 1),
+# this framework stores (out, in) (models/nn.py:conv1d)
+_CONV1D_KEYS = ("dep_kv", "map_kv", "rgb_kv", "depth_kv", "text_k")
+
+
+def remap_reference_policy_params(params: Params) -> Params:
+    """Translate the reference policy's torch module names onto this
+    framework's param-tree names (init_map_cma / init_latent_cma):
+
+    - instruction_encoder.embedding_layer -> .embedding;
+      .encoder_rnn (+_reverse)            -> .lstm_fwd / .lstm_bwd
+    - state_encoder.rnn / second_state_encoder.rnn -> flattened (habitat's
+      RNNStateEncoder wraps the GRU in an .rnn attribute)
+    - rgb_encoder.cnn.<seq idx> -> torchvision stage names
+    - kv/text_k Conv1d weights squeeze their trailing kernel dim
+    - the '_scale' attention buffer is dropped (a constant)
+    """
+    p = dict(params)
+    ie = p.get("instruction_encoder")
+    if isinstance(ie, dict):
+        ie = dict(ie)
+        if "embedding_layer" in ie:
+            ie["embedding"] = ie.pop("embedding_layer")
+        rnn = ie.pop("encoder_rnn", None)
+        if rnn is not None:
+            rnn = dict(rnn)
+            bwd = rnn.pop("_reverse", None)
+            ie["lstm_fwd"] = rnn
+            if bwd is not None:
+                ie["lstm_bwd"] = bwd
+        p["instruction_encoder"] = ie
+    for k in ("state_encoder", "second_state_encoder"):
+        node = p.get(k)
+        if isinstance(node, dict) and set(node) == {"rnn"}:
+            p[k] = node["rnn"]
+    for k in _CONV1D_KEYS:
+        node = p.get(k)
+        if isinstance(node, dict):
+            w = node.get("w")
+            if w is not None and w.ndim == 3 and w.shape[-1] == 1:
+                p[k] = {**node, "w": w[..., 0]}
+    rgb = p.get("rgb_encoder")
+    if isinstance(rgb, dict) and isinstance(rgb.get("cnn"), dict):
+        cnn = rgb["cnn"]
+        if any(idx in cnn for idx in _RESNET_SEQ_TO_NAME):
+            new = {
+                name: cnn[idx]
+                for idx, name in _RESNET_SEQ_TO_NAME.items()
+                if idx in cnn
+            }
+            for k2, v2 in cnn.items():
+                if k2 not in _RESNET_SEQ_TO_NAME:
+                    new.setdefault(k2, v2)
+            p["rgb_encoder"] = {**rgb, "cnn": new}
+    p.pop("_scale", None)
+    return p
+
+
 def load_reference_policy_checkpoint(path: str) -> Dict[str, Any]:
     """A full reference training checkpoint: dict with state_dict, config,
     optim_state, epoch... (base_il_trainer.py:143-168). Returns the raw
     dict with state_dict converted to a param tree (keys under 'net.' and
-    'action_distribution.')."""
+    'action_distribution.') remapped onto this framework's names."""
     ckpt = load_torch_file(path)
     state = ckpt["state_dict"]
     net = {
@@ -174,10 +240,10 @@ def load_reference_policy_checkpoint(path: str) -> Dict[str, Any]:
         if k.startswith("action_distribution.")
     }
     if net or head:
-        params = convert_state_dict(net)
+        params = remap_reference_policy_params(convert_state_dict(net))
         params["action_distribution"] = convert_state_dict(head)
     else:
-        # unprefixed layout: convert the whole state_dict
+        # unprefixed layout (this framework's own pickle checkpoints)
         params = convert_state_dict(state)
     return {**{k: v for k, v in ckpt.items() if k != "state_dict"},
             "params": params}
