@@ -166,13 +166,23 @@ class VectorEnv:
         self._lanes[index].send(RESET)
         return self._lanes[index].recv()
 
-    def step(self, actions: List):
+    def step_async(self, actions: List) -> None:
+        """Dispatch STEP to every lane without waiting. Process lanes
+        simulate concurrently with whatever the caller does before
+        step_wait (device readbacks, video frames, stats) — SURVEY hard
+        part #3. In-process lanes defer execution to step_wait."""
         for lane, action in zip(self._lanes, actions):
             if isinstance(action, dict):
                 lane.send(STEP, action)
             else:
                 lane.send(STEP, {"action": {"action": int(action)}})
+
+    def step_wait(self):
         return [lane.recv() for lane in self._lanes]
+
+    def step(self, actions: List):
+        self.step_async(actions)
+        return self.step_wait()
 
     def call(self, function_names: List[str], function_args_list=None):
         if function_args_list is None:

@@ -68,6 +68,12 @@ def apply_instruction_encoder(
     """Returns per-token features (B, 2H, T) with padded positions zeroed
     (the CMA text mask detects padding via all-zero channels,
     map_cma_policy.py:322)."""
+    if "instruction_features" in observations:
+        # per-episode cached encoding (the instruction is constant within
+        # an episode; trainers re-encode only at episode boundaries and
+        # feed the features through the obs dict, so the per-step fused
+        # executable contains no token scan at all)
+        return observations["instruction_features"]
     if config.sensor_uuid == "instruction":
         instruction = observations["instruction"].astype(jnp.int32)
         lengths = jnp.sum((instruction != 0).astype(jnp.int32), axis=1)

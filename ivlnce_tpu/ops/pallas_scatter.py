@@ -39,28 +39,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LANE = 128  # point streams fold to (N/_LANE, _LANE) for SMEM tiling
+
+
 def _kernel(rc_ref, k_ref, pay_ref, grid_h_ref, grid_p_ref,
             out_h_ref, out_p_ref):
-    lane = pl.program_id(0)
+    # every ref is blocked per-lane (grid dim 0). rc/k are this lane's
+    # points folded to (N/128, 128) in SMEM — a full (B, N) int32 block
+    # would blow the ~1 MB SMEM budget at production sizes (16 x 65536 x
+    # 4 B = 4 MB), and 2D blocks must tile (8, 128).
     # copy incumbents into the output window, then RMW in place
     out_h_ref[:, :] = grid_h_ref[:, :]
     out_p_ref[:, :] = grid_p_ref[:, :]
 
-    n = rc_ref.shape[1]
+    n = rc_ref.shape[0] * _LANE
     n_cells = out_h_ref.shape[0]
 
     def body(i, _):
-        rc = rc_ref[lane, i]
-        k = k_ref[lane, i]
+        hi = i // _LANE
+        lo = i % _LANE
+        rc = rc_ref[hi, lo]
+        k = k_ref[hi, lo]
 
         # invalid points are pre-routed to rc == n_cells by the caller,
         # so a single bounds check drops them
         @pl.when(jnp.logical_and(rc < n_cells, k > out_h_ref[rc, 0]))
         def _():
             out_h_ref[pl.ds(rc, 1), :] = k.reshape(1, 1)
-            out_p_ref[pl.ds(rc, 1), :] = pay_ref[
-                lane, pl.ds(i, 1), :
-            ].reshape(1, -1)
+            out_p_ref[pl.ds(rc, 1), :] = pay_ref[pl.ds(i, 1), :].reshape(
+                1, -1
+            )
 
         return 0
 
@@ -91,13 +99,28 @@ def scatter_argmax_window_update(
     h_flat = window_h.reshape(b, n_cells, 1)
     p_flat = window_p.reshape(b, n_cells, p)
 
+    # pad the point dim to a multiple of 128 and fold for SMEM tiling;
+    # padded slots route out of range (rc = n_cells)
+    n = rc.shape[1]
+    n_pad = (-n) % _LANE
+    if n_pad:
+        rc = jnp.pad(rc, ((0, 0), (0, n_pad)), constant_values=n_cells)
+        keys = jnp.pad(keys, ((0, 0), (0, n_pad)))
+        payload = jnp.pad(payload, ((0, 0), (0, n_pad), (0, 0)))
+        n += n_pad
+    rc = rc.reshape(b, n // _LANE, _LANE)
+    keys_f = keys.astype(jnp.float32).reshape(b, n // _LANE, _LANE)
+
     out_h, out_p = pl.pallas_call(
         _kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rc (B, N) i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # keys (B, N) f32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # payload (B, N, P)
+            pl.BlockSpec((None, n // _LANE, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # rc lane (N/128, 128)
+            pl.BlockSpec((None, n // _LANE, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # keys lane
+            pl.BlockSpec((None, n, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # payload lane row
             pl.BlockSpec((None, n_cells, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n_cells, p), lambda i: (i, 0, 0),
@@ -114,5 +137,5 @@ def scatter_argmax_window_update(
             jax.ShapeDtypeStruct((b, n_cells, p), window_p.dtype),
         ),
         interpret=interpret,
-    )(rc, keys.astype(jnp.float32), payload, h_flat, p_flat)
+    )(rc, keys_f, payload, h_flat, p_flat)
     return out_h.reshape(b, w, w), out_p.reshape(b, w, w, p)

@@ -219,6 +219,7 @@ class BaseVLNCETrainer:
         logger.info(f"Agent parameters: {n_params}.")
         self._jit_cache = {}
         self._lane_rows = None  # fixed-lane bookkeeping resets per run
+        self._txt_cache_tokens = None  # per-episode instruction cache
 
     def _load_external_encoders(self, config) -> None:
         """Frozen external weights: DDPPO depth, torchvision RGB, map
@@ -424,15 +425,24 @@ class BaseVLNCETrainer:
         return full
 
     def _policy_step(self, batch, reset_masks, rnn_states, prev_actions,
-                     masks, iterative: bool):
+                     masks, iterative: bool, need_maps: bool = True,
+                     defer_maps: bool = False):
         """Run one policy step, fusing the active mapper obs transform
         into the act executable. ``masks`` is the tuple of act masks
         ((not_done,) episodic; (agent, sim, tour, action) iterative).
         Returns (PolicyOutput, batch) — batch gains occupancy_map /
-        semantic_map when a mapper is active. Inputs are live-lane
-        host arrays; rnn_states is the full-width device carry returned
-        by the previous call. actions/logits come back gathered to the
-        live lanes (numpy); occupancy/semantic stay full-width numpy."""
+        semantic_map when a mapper is active AND ``need_maps``. Inputs are
+        live-lane host arrays; rnn_states is the full-width device carry
+        returned by the previous call.
+
+        Host<->device traffic discipline (the eval loop's cost is round
+        trips through the device transport, ~30 ms each on the tunnel,
+        not compute): ONE device_get fetches actions (+ maps only when
+        ``need_maps`` — they exist solely for video frames and trajectory
+        stores); logits stay a device array (consumers np.asarray on
+        demand); the mapper's occupancy/semantic outputs are never
+        re-uploaded as observations (the fused executable recomputes them
+        from carried state)."""
         # on-demand trace capture of steps [3, 23) (TPU.profile_dir)
         self._step_counter = getattr(self, "_step_counter", 0) + 1
         if self._step_counter == 3:
@@ -446,17 +456,19 @@ class BaseVLNCETrainer:
             self._reset_lanes(rnn_states.shape[0])
         rows = self._lane_rows
 
+        transform = self.obs_transforms[0] if self.obs_transforms else None
         dobs = {
             k: self._expand_rows(v)
             for k, v in _device_batch(batch).items()
+            if transform is None or k not in ("occupancy_map", "semantic_map")
         }
+        dobs = self._cache_instruction_features(dobs)
         # pad masks with 0: dead rows stay reset and their prev-action
         # embedding indexes the masked slot
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
 
         key_data = self._step_key_data()
-        transform = self.obs_transforms[0] if self.obs_transforms else None
         if transform is None:
             act = self._act_fn(iterative)
             with profiling.range_context("policy_step"):
@@ -488,17 +500,85 @@ class BaseVLNCETrainer:
                     key_data,
                 )
             transform.state = state
-            batch["occupancy_map"] = np.asarray(occ)[rows]
-            batch["semantic_map"] = np.asarray(sem)[rows]
+
+        # one readback round trip for everything the host needs this step;
+        # with defer_maps the map fetch waits for _materialize_maps, which
+        # eval loops call AFTER envs.step_async so it overlaps simulation
+        self._pending_maps = None
+        fetch = [out.actions]
+        if transform is not None and need_maps:
+            if defer_maps:
+                self._pending_maps = (occ, sem, rows)
+            else:
+                fetch += [occ, sem]
+        got = jax.device_get(tuple(fetch))
+        if len(got) == 3:
+            batch["occupancy_map"] = got[1][rows]
+            batch["semantic_map"] = got[2][rows]
 
         from ivlnce_tpu.models.policy import PolicyOutput
 
         out = PolicyOutput(
-            actions=np.array(out.actions)[rows],
+            actions=np.array(got[0])[rows],
             rnn_states=out.rnn_states,  # full-width device carry
-            logits=np.array(out.logits)[rows],
+            logits=out.logits,  # full-width DEVICE array (lazy fetch)
         )
         return out, batch
+
+    def _cache_instruction_features(self, dobs):
+        """Encode the instruction bi-LSTM once per EPISODE, not per step.
+
+        The instruction is constant within an episode, yet the reference
+        re-runs its packed bi-LSTM every forward
+        (map_cma_policy.py:293/instruction_encoder.py:63-94) — at 80
+        tokens x 2 directions that is the single largest op count in the
+        step executable. Here the tokens (or RxR features) are compared
+        host-side against the previous step's; on change (episode
+        boundary) a small standalone executable re-encodes, and the hot
+        fused step consumes the cached per-token features — it contains
+        no token scan at all."""
+        key = (
+            "instruction" if "instruction" in dobs else
+            "rxr_instruction" if "rxr_instruction" in dobs else None
+        )
+        if key is None:
+            return dobs
+        tokens = np.asarray(dobs[key])
+        cached = getattr(self, "_txt_cache_tokens", None)
+        if cached is None or not np.array_equal(tokens, cached):
+            if "txt_encode" not in self._jit_cache:
+                # the policy's model config (NOT self.config.MODEL): the
+                # CMA nets force final_state_only=False on construction
+                cfg = self.policy.model_config.INSTRUCTION_ENCODER
+
+                def encode(params, obs):
+                    from ivlnce_tpu.models import instruction_encoder as IE
+
+                    return IE.apply_instruction_encoder(
+                        params["instruction_encoder"], cfg, obs
+                    )
+
+                self._jit_cache["txt_encode"] = jax.jit(encode)
+            self._txt_cache = self._jit_cache["txt_encode"](
+                self.params, {key: dobs[key]}
+            )
+            self._txt_cache_tokens = tokens.copy()
+        dobs = dict(dobs)
+        del dobs[key]
+        dobs["instruction_features"] = self._txt_cache
+        return dobs
+
+    def _materialize_maps(self, batch) -> None:
+        """Fetch the deferred occupancy/semantic maps into ``batch``
+        (issued by _policy_step(defer_maps=True); called after
+        envs.step_async so the readback overlaps simulation)."""
+        if getattr(self, "_pending_maps", None) is None:
+            return
+        occ, sem, rows = self._pending_maps
+        self._pending_maps = None
+        occ_np, sem_np = jax.device_get((occ, sem))
+        batch["occupancy_map"] = occ_np[rows]
+        batch["semantic_map"] = sem_np[rows]
 
     def _train_step_fn(self):
         if "train_step" not in self._jit_cache:
@@ -550,6 +630,8 @@ class BaseVLNCETrainer:
                 jnp.asarray(weights, jnp.float32),
                 rnn_states,
             )
+        # params changed: cached per-episode instruction features are stale
+        self._txt_cache_tokens = None
         return float(loss), float(action_loss), float(aux_loss), rnn_out
 
     # -- lane pausing -----------------------------------------------------------------
@@ -732,12 +814,16 @@ class BaseVLNCETrainer:
             out, batch = self._policy_step(
                 batch, not_done_masks, rnn_states, prev_actions,
                 (not_done_masks,), iterative=False,
+                need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
             )
             rnn_states = out.rnn_states
             actions = np.array(out.actions)  # copy: reset writes in place
             prev_actions = actions
 
-            outputs = envs.step([int(a[0]) for a in actions])
+            # sims run while the deferred map readback happens on the host
+            envs.step_async([int(a[0]) for a in actions])
+            self._materialize_maps(batch)
+            outputs = envs.step_wait()
             observations, _, dones, infos = (list(x) for x in zip(*outputs))
 
             not_done_masks = np.array(
@@ -902,6 +988,7 @@ class BaseVLNCETrainer:
                 batch, reset_masks, rnn_states, prev_actions,
                 (agent_masks, sim_masks, tour_masks, action_masks),
                 iterative=True,
+                need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
             )
             rnn_states = out.rnn_states
             # np.array (copy): device arrays view as read-only numpy and
@@ -909,7 +996,9 @@ class BaseVLNCETrainer:
             actions = np.array(out.actions)
             prev_actions = actions
 
-            outputs = envs.step([int(a[0]) for a in actions])
+            envs.step_async([int(a[0]) for a in actions])
+            self._materialize_maps(batch)
+            outputs = envs.step_wait()
             (
                 observations, _, agent_dones, sim_dones, tour_dones,
                 produce_actions, infos,

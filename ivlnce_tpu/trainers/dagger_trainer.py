@@ -28,6 +28,7 @@ from ivlnce_tpu.utils.batching import (
     batch_obs,
     extract_instruction_tokens,
 )
+from ivlnce_tpu.utils.prefetch import prefetch
 from ivlnce_tpu.utils.registry import registry
 from ivlnce_tpu.utils.tb import TensorboardWriter
 
@@ -318,6 +319,13 @@ class DaggerTrainer(BaseVLNCETrainer):
             actions = np.where(mix, expert_actions.astype(actions.dtype),
                                actions)
 
+            # dispatch the sims now; the episode-append host work below
+            # (feature copies, store packing) overlaps the simulation
+            step_actions = np.where(
+                (expert_actions.reshape(-1) == -1)[:, None], 0, actions
+            )
+            envs.step_async([int(a[0]) for a in step_actions])
+
             for i in range(envs.num_envs):
                 step_obs = dict(observations[i])
                 if "depth_features" in features:
@@ -356,10 +364,9 @@ class DaggerTrainer(BaseVLNCETrainer):
                 )
 
             skips = (expert_actions.reshape(-1) == -1)
-            actions = np.where(skips[:, None], 0, actions)
-            prev_actions = actions
+            prev_actions = step_actions
 
-            outputs = envs.step([int(a[0]) for a in actions])
+            outputs = envs.step_wait()
             observations, _, dones, _ = (list(x) for x in zip(*outputs))
             not_done_masks = np.array(
                 [[0] if d else [1] for d in dones], np.uint8
@@ -465,14 +472,15 @@ class DaggerTrainer(BaseVLNCETrainer):
             self._reset_lanes(rnn_states.shape[0])
         rows = self._lane_rows
 
+        transform = self.obs_transforms[0] if self.obs_transforms else None
         dobs = {
             k: self._expand_rows(v)
             for k, v in _device_batch(batch).items()
+            if transform is None or k not in ("occupancy_map", "semantic_map")
         }
+        dobs = self._cache_instruction_features(dobs)
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
-
-        transform = self.obs_transforms[0] if self.obs_transforms else None
         fused = self._collect_fused_fn(transform, iterative)
         if transform is None:
             feats, out = fused(
@@ -501,14 +509,29 @@ class DaggerTrainer(BaseVLNCETrainer):
                 rng_key,
             )
             transform.state = state
-            batch["occupancy_map"] = np.asarray(occ)[rows]
-            batch["semantic_map"] = np.asarray(sem)[rows]
 
-        feats_np = {k: np.asarray(v)[rows] for k, v in feats.items()}
+        # ONE readback round trip per step: actions + features + maps
+        # together (each separate np.asarray is its own ~30 ms transport
+        # round trip on the tunnel). Logits stay on device (unused here).
+        import jax
+
+        feat_keys = sorted(feats)
+        fetch = [out.actions] + [feats[k] for k in feat_keys]
+        if transform is not None:
+            fetch += [occ, sem]
+        got = jax.device_get(tuple(fetch))
+        actions_np = got[0]
+        feats_np = {
+            k: got[1 + i][rows] for i, k in enumerate(feat_keys)
+        }
+        if transform is not None:
+            batch["occupancy_map"] = got[-2][rows]
+            batch["semantic_map"] = got[-1][rows]
+
         out = PolicyOutput(
-            actions=np.array(out.actions)[rows],
+            actions=np.array(actions_np)[rows],
             rnn_states=out.rnn_states,
-            logits=np.array(out.logits)[rows],
+            logits=out.logits,  # full-width DEVICE array (lazy)
         )
         return out, feats_np, batch
 
@@ -556,7 +579,10 @@ class DaggerTrainer(BaseVLNCETrainer):
                     batch_size=config.IL.batch_size,
                 )
                 for epoch in range(config.IL.epochs):
-                    for batch in dataset.batches():
+                    # decode/collate the next batches while the device
+                    # runs the current update (reference: DataLoader
+                    # workers, dagger_trainer.py:568-576)
+                    for batch in prefetch(dataset.batches(), depth=3):
                         (
                             observations, prev_actions, not_done_masks,
                             corrected, weights,

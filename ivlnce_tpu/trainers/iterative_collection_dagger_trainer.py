@@ -117,7 +117,14 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
                 tour_id = str(episodes[i][0][3])
                 tours_to_idxs[tour_id].append(lmdb_idx)
                 collected_eps += 1
-                store.sync()
+                # batched fsync like the episodic trainer (an fsync per
+                # episode serialized collection; reference commits every
+                # lmdb_commit_frequency episodes)
+                if (
+                    collected_eps
+                    % config.IL.DAGGER.lmdb_commit_frequency == 0
+                ):
+                    store.sync()
 
                 if ensure_unique_episodes:
                     if current_episodes[i]["episode_id"] in ep_ids_collected:
@@ -157,6 +164,13 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
             )
 
             episode_infos = self._current_episode_info(envs)
+            # sims simulate while the append/pack host work below runs
+            # (episode_infos is fetched first: the lane pipe protocol is
+            # strictly request/reply ordered)
+            step_actions = np.where(
+                (expert_actions.reshape(-1) == -1)[:, None], 0, actions
+            )
+            envs.step_async([int(a[0]) for a in step_actions])
             for i in range(envs.num_envs):
                 # only record agent-phase steps (oracle steps excluded,
                 # iterative_collection_dagger_trainer.py:319-322)
@@ -192,10 +206,9 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
                 )
 
             skips = expert_actions.reshape(-1) == -1
-            actions = np.where(skips[:, None], 0, actions)
-            prev_actions = actions
+            prev_actions = step_actions
 
-            outputs = envs.step([int(a[0]) for a in actions])
+            outputs = envs.step_wait()
             (
                 observations, _, agent_dones, sim_episode_dones, tour_dones,
                 produce_actions, _,

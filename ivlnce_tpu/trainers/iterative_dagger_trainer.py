@@ -21,6 +21,7 @@ from ivlnce_tpu.trainers.tour_dataset import (
 )
 from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
 from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils.prefetch import prefetch
 from ivlnce_tpu.utils.registry import registry
 from ivlnce_tpu.utils.tb import TensorboardWriter
 
@@ -133,7 +134,7 @@ class IterativeDaggerTrainer(IterativeCollectionDaggerTrainer):
                     rnn_states = self.policy.initial_rnn_states(
                         config.IL.batch_size
                     )
-                    for batch in dataset.batches(sampler):
+                    for batch in prefetch(dataset.batches(sampler), depth=3):
                         (
                             observations, prev_actions, episode_masks,
                             tour_masks, corrected, weights,

