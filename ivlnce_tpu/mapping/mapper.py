@@ -95,21 +95,31 @@ class MapperState(NamedTuple):
     steps; lanes reset by mask multiplies like the reference's
     not_done_masks threading).
 
-    The per-cell point payload [x, z, semantic-label] is packed into one
-    f32 tensor so the frame accumulation is a single scatter (see
-    ops/scatter.py packing note)."""
+    Cells store two packed words instead of the reference's float point
+    cloud: ``key`` holds the winning point's height as an EXACT
+    order-preserving int32 (ops/scatter.sortable_from_float; EMPTY_KEY =
+    empty cell) and ``aux`` packs the point's world (x, z) as 14-bit
+    cell-relative offsets (~f32-ulp precision) plus its semantic label.
+    Two int32 words/cell instead of 4 f32 channels: the frame update is
+    two 1-channel scatter-sets of pre-sorted unique winners (see
+    ops/scatter.sorted_argmax_grid_update) and the grid carries half the
+    HBM of the float layout."""
 
-    height: jnp.ndarray  # (B, Gr, Gc) f32, -inf = empty cell
-    payload: jnp.ndarray  # (B, Gr, Gc, 3) f32: world x, world z, label
+    key: jnp.ndarray  # (B, Gr, Gc) i32 sortable height, EMPTY_KEY = empty
+    aux: jnp.ndarray  # (B, Gr, Gc) u32 packed [x_off | z_off | sem]
     origin: jnp.ndarray  # (B, 2) i32 world half-res cell of grid [0, 0]
     origin_set: jnp.ndarray  # (B,) bool
+
+    @property
+    def batch_size(self) -> int:
+        return self.key.shape[0]
 
 
 def init_state(batch_size: int, grid_cells: int) -> MapperState:
     g = grid_cells
     return MapperState(
-        height=jnp.full((batch_size, g, g), -jnp.inf, jnp.float32),
-        payload=jnp.zeros((batch_size, g, g, 3), jnp.float32),
+        key=jnp.full((batch_size, g, g), S.EMPTY_KEY, jnp.int32),
+        aux=jnp.zeros((batch_size, g, g), jnp.uint32),
         origin=jnp.zeros((batch_size, 2), jnp.int32),
         origin_set=jnp.zeros((batch_size,), bool),
     )
@@ -121,8 +131,8 @@ def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
     tour not_done_masks chosen by the trainer)."""
     keep3 = keep_mask[:, None, None]
     return MapperState(
-        height=jnp.where(keep3, state.height, -jnp.inf),
-        payload=jnp.where(keep3[..., None], state.payload, 0.0),
+        key=jnp.where(keep3, state.key, S.EMPTY_KEY),
+        aux=jnp.where(keep3, state.aux, jnp.uint32(0)),
         origin=jnp.where(keep_mask[:, None], state.origin, 0),
         origin_set=state.origin_set & keep_mask,
     )
@@ -223,19 +233,26 @@ def _accumulate_frame(
     )
 
     # world voxel cells relative to per-lane origin
-    r, c = _world_cells(pts[:, :, 0], pts[:, :, 2], params.half_res)
-    r = r - state.origin[:, 0:1]
-    c = c - state.origin[:, 1:2]
+    r_abs, c_abs = _world_cells(pts[:, :, 0], pts[:, :, 2], params.half_res)
+    r = r_abs - state.origin[:, 0:1]
+    c = c_abs - state.origin[:, 1:2]
     g = params.grid_cells
     valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
-    point_payload = jnp.stack(
-        [pts[:, :, 0], pts[:, :, 2], sem.astype(jnp.float32)], axis=-1
+    aux = S.pack_aux(
+        pts[:, :, 0], pts[:, :, 2], sem, r_abs, c_abs, params.half_res
     )
-    new_height, new_payload = S.scatter_argmax_grid_update(
-        state.height, state.payload, r, c, heights, point_payload, valid
+    new_key, new_aux = S.sorted_argmax_grid_update(
+        state.key.reshape(b, -1),
+        state.aux.reshape(b, -1),
+        r * g + c,
+        heights,
+        aux,
+        valid,
     )
-    return state._replace(height=new_height, payload=new_payload)
+    return state._replace(
+        key=new_key.reshape(b, g, g), aux=new_aux.reshape(b, g, g)
+    )
 
 
 def _rasterize_egocentric(
@@ -261,17 +278,25 @@ def _rasterize_egocentric(
         return jax.lax.dynamic_slice(arr, (sr, sc), (wcells, wcells))
 
     slicer = jax.vmap(slice_lane)
-    win_h = slicer(state.height, start_r, start_c).reshape(b, -1)
+    win_key = slicer(state.key, start_r, start_c).reshape(b, -1)
+    win_aux = slicer(state.aux, start_r, start_c).reshape(b, -1)
 
-    def slice_payload(arr, sr, sc):
-        return jax.lax.dynamic_slice(arr, (sr, sc, 0), (wcells, wcells, 3))
+    # absolute half-res cell coords of every window cell
+    wr = jnp.arange(wcells, dtype=jnp.int32)
+    cell_r = (
+        start_r[:, None] + jnp.repeat(wr, wcells)[None, :]
+        + state.origin[:, 0:1]
+    )
+    cell_c = (
+        start_c[:, None] + jnp.tile(wr, wcells)[None, :]
+        + state.origin[:, 1:2]
+    )
+    win_h = S.float_from_sortable(win_key)
+    win_x, win_z, win_sem = S.unpack_aux(
+        win_aux, cell_r, cell_c, params.half_res
+    )
 
-    win_p = jax.vmap(slice_payload)(state.payload, start_r, start_c)
-    win_p = win_p.reshape(b, -1, 3)
-    win_x, win_z = win_p[:, :, 0], win_p[:, :, 1]
-    win_sem = win_p[:, :, 2].astype(jnp.uint8)
-
-    valid = jnp.isfinite(win_h)
+    valid = win_key != S.EMPTY_KEY
     # map-time height filter (mapper.py:884-901)
     robot_h = pose[:, 1:2]
     valid &= (win_h > robot_h - MAP_HEIGHT_BELOW) & (
@@ -337,18 +362,24 @@ def load_points_into_state(
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     valid = load[:, None] & (idx < num_points[:, None])
 
-    r = jnp.round(xyz[:, :, 2] / params.half_res).astype(jnp.int32)
-    c = jnp.round(xyz[:, :, 0] / params.half_res).astype(jnp.int32)
-    r = r - origin[:, 0:1]
-    c = c - origin[:, 1:2]
+    r_abs = jnp.round(xyz[:, :, 2] / params.half_res).astype(jnp.int32)
+    c_abs = jnp.round(xyz[:, :, 0] / params.half_res).astype(jnp.int32)
+    r = r_abs - origin[:, 0:1]
+    c = c_abs - origin[:, 1:2]
     g = params.grid_cells
     valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
-    point_payload = jnp.stack(
-        [xyz[:, :, 0], xyz[:, :, 2], sem.astype(jnp.float32)], axis=-1
+    aux = S.pack_aux(
+        xyz[:, :, 0], xyz[:, :, 2], sem, r_abs, c_abs, params.half_res
     )
-    new_height, new_payload = S.scatter_argmax_grid_update(
-        state.height, state.payload, r, c, xyz[:, :, 1], point_payload,
+    new_key, new_aux = S.sorted_argmax_grid_update(
+        state.key.reshape(b, -1),
+        state.aux.reshape(b, -1),
+        r * g + c,
+        xyz[:, :, 1],
+        aux,
         valid,
     )
-    return state._replace(height=new_height, payload=new_payload)
+    return state._replace(
+        key=new_key.reshape(b, g, g), aux=new_aux.reshape(b, g, g)
+    )

@@ -94,7 +94,7 @@ class Mapper:
 
     # -- lane management ---------------------------------------------------------
     def _ensure_state(self, batch_size: int):
-        if self.state is None or self.state.height.shape[0] != batch_size:
+        if self.state is None or self.state.key.shape[0] != batch_size:
             self.state = init_state(batch_size, self.params.grid_cells)
             self._loaded_env_names = [None] * batch_size
 
@@ -104,7 +104,7 @@ class Mapper:
         if self.state is None:
             return
         keep = np.asarray(
-            [i for i in range(self.state.height.shape[0]) if i != index],
+            [i for i in range(self.state.key.shape[0]) if i != index],
             dtype=np.int64,
         )
         self.state = jax.tree_util.tree_map(lambda a: a[keep], self.state)
@@ -160,7 +160,7 @@ class Mapper:
         b = len(masks)
         if rows is None:
             rows = np.arange(b)
-        n_rows = self.state.height.shape[0]
+        n_rows = self.state.key.shape[0]
         lane_mask = np.zeros((n_rows,), bool)
         xyz = np.zeros((n_rows, self.known_map_max_points, 3), np.float32)
         sem = np.zeros((n_rows, self.known_map_max_points), np.uint8)

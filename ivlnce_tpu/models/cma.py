@@ -299,7 +299,13 @@ def init_latent_cma(key, model_config, depth_hw: int) -> Params:
     ks = jax.random.split(key, 16)
 
     depth_params, depth_shape = RN.init_vln_depth_encoder(ks[0], depth_hw // 2)
-    rgb_params, rgb_shape = RN.init_torchvision_resnet50_spatial(ks[1])
+    # RGB_ENCODER.cnn_type selects the torchvision trunk (the reference
+    # ships both TorchVisionResNet50 and TorchVisionResNet18,
+    # resnet_encoders.py:118-229)
+    if cfg.RGB_ENCODER.cnn_type == "TorchVisionResNet18":
+        rgb_params, rgb_shape = RN.init_torchvision_resnet18_spatial(ks[1])
+    else:
+        rgb_params, rgb_shape = RN.init_torchvision_resnet50_spatial(ks[1])
     instr = IE.init_instruction_encoder(ks[2], cfg.INSTRUCTION_ENCODER)
     instr_out = IE.output_size(cfg.INSTRUCTION_ENCODER)
 
@@ -366,6 +372,10 @@ def latent_cma_encode(
 
     if "rgb_features" in observations:
         rgb = observations["rgb_features"]
+    elif cfg.RGB_ENCODER.cnn_type == "TorchVisionResNet18":
+        rgb = RN.apply_torchvision_resnet18_spatial(
+            params["rgb_encoder"], observations["rgb"], dtype=dtype
+        )
     else:
         rgb = RN.apply_torchvision_resnet50_spatial(
             params["rgb_encoder"], observations["rgb"], dtype=dtype

@@ -257,6 +257,78 @@ def apply_bn_resnet50_trunk(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+RESNET18_LAYERS = [2, 2, 2, 2]
+
+
+def init_bn_basicblock(
+    key, inplanes: int, planes: int, stride: int, downsample: bool
+) -> Params:
+    """torchvision BasicBlock (resnet18/34): two 3x3 convs, expansion 1."""
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": F.init_conv2d(ks[0], inplanes, planes, 3, bias=False),
+        "bn1": F.init_batchnorm(planes),
+        "conv2": F.init_conv2d(ks[1], planes, planes, 3, bias=False),
+        "bn2": F.init_batchnorm(planes),
+    }
+    if downsample:
+        p["downsample"] = {
+            "0": F.init_conv2d(ks[2], inplanes, planes, 1, bias=False),
+            "1": F.init_batchnorm(planes),
+        }
+    return p
+
+
+def apply_bn_basicblock(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    out = F.relu(F.batchnorm(p["bn1"], F.conv2d(p["conv1"], x, stride, 1)))
+    out = F.batchnorm(p["bn2"], F.conv2d(p["conv2"], out, 1, 1))
+    if "downsample" in p:
+        identity = F.batchnorm(
+            p["downsample"]["1"], F.conv2d(p["downsample"]["0"], x, stride, 0)
+        )
+    else:
+        identity = x
+    return F.relu(out + identity)
+
+
+def init_bn_resnet18_trunk(key, in_channels: int = 3) -> Params:
+    """conv1..layer4 of torchvision resnet18 (no avgpool/fc)."""
+    keys = jax.random.split(key, 5)
+    p: Params = {
+        "conv1": F.init_conv2d(keys[0], in_channels, 64, 7, bias=False),
+        "bn1": F.init_batchnorm(64),
+    }
+    inplanes = 64
+    for si, (planes, blocks) in enumerate(
+        zip([64, 128, 256, 512], RESNET18_LAYERS)
+    ):
+        stride = 1 if si == 0 else 2
+        bkeys = jax.random.split(keys[si + 1], blocks)
+        stage: Params = {}
+        for bi in range(blocks):
+            s = stride if bi == 0 else 1
+            ds = bi == 0 and (s != 1 or inplanes != planes)
+            stage[str(bi)] = init_bn_basicblock(
+                bkeys[bi], inplanes, planes, s, ds
+            )
+            inplanes = planes
+        p[f"layer{si + 1}"] = stage
+    return p
+
+
+def apply_bn_resnet18_trunk(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC in -> (B, H/32, W/32, 512)."""
+    x = F.conv2d(p["conv1"], x, stride=2, padding=3)
+    x = F.relu(F.batchnorm(p["bn1"], x))
+    x = F.max_pool(x, 3, 2, 1)
+    for si in range(4):
+        stage = p[f"layer{si + 1}"]
+        for bi in range(len(stage)):
+            stride = (2 if si > 0 else 1) if bi == 0 else 1
+            x = apply_bn_basicblock(stage[str(bi)], x, stride)
+    return x
+
+
 # numpy, not jnp: module-level device constants poison the axon dispatch
 # fast path when captured into executables (see ops/scatter.py NEG_INF)
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -277,6 +349,35 @@ def init_torchvision_resnet50_spatial(
     return p, (2048 + spatial_embedding_dim, 4, 4)
 
 
+def init_torchvision_resnet18_spatial(
+    key, spatial_embedding_dim: int = 64
+) -> Tuple[Params, Tuple[int, int, int]]:
+    """TorchVisionResNet18, spatial_output=True
+    (resnet_encoders.py:226-229): resnet18 trunk -> adaptive_avg_pool
+    4x4 -> + spatial embeddings. Output (512 + 64, 4, 4)."""
+    k1, k2 = jax.random.split(key)
+    p = {
+        "cnn": init_bn_resnet18_trunk(k1),
+        "spatial_embeddings": F.init_embedding(k2, 16, spatial_embedding_dim),
+    }
+    return p, (512 + spatial_embedding_dim, 4, 4)
+
+
+def _apply_torchvision_spatial(trunk_fn, p, rgb_nhwc_uint8, dtype):
+    compute = dtype or jnp.float32
+    cnn = F.cast_tree(p["cnn"], dtype) if dtype is not None else p["cnn"]
+    x = rgb_nhwc_uint8.astype(compute) / 255.0
+    x = trunk_fn(cnn, x)
+    x = x.astype(jnp.float32)
+    x = F.adaptive_avg_pool(x, (4, 4))  # (B, 4, 4, C)
+    b = x.shape[0]
+    x = x.transpose(0, 3, 1, 2)
+    emb = p["spatial_embeddings"]["w"]  # (16, D)
+    spatial = emb.T.reshape(1, -1, 4, 4)
+    spatial = jnp.broadcast_to(spatial, (b, emb.shape[1], 4, 4))
+    return jnp.concatenate([x, spatial], axis=1)
+
+
 def apply_torchvision_resnet50_spatial(
     p: Params, rgb_nhwc_uint8: jnp.ndarray, dtype=None
 ) -> jnp.ndarray:
@@ -285,15 +386,15 @@ def apply_torchvision_resnet50_spatial(
     The reference's TorchVisionResNet normalize() only scales /255
     (normalize_visual_inputs defaults False, resnet_encoders.py:183-192).
     """
-    compute = dtype or jnp.float32
-    cnn = F.cast_tree(p["cnn"], dtype) if dtype is not None else p["cnn"]
-    x = rgb_nhwc_uint8.astype(compute) / 255.0
-    x = apply_bn_resnet50_trunk(cnn, x)
-    x = x.astype(jnp.float32)
-    x = F.adaptive_avg_pool(x, (4, 4))  # (B, 4, 4, 2048)
-    b = x.shape[0]
-    x = x.transpose(0, 3, 1, 2)
-    emb = p["spatial_embeddings"]["w"]  # (16, D)
-    spatial = emb.T.reshape(1, -1, 4, 4)
-    spatial = jnp.broadcast_to(spatial, (b, emb.shape[1], 4, 4))
-    return jnp.concatenate([x, spatial], axis=1)
+    return _apply_torchvision_spatial(
+        apply_bn_resnet50_trunk, p, rgb_nhwc_uint8, dtype
+    )
+
+
+def apply_torchvision_resnet18_spatial(
+    p: Params, rgb_nhwc_uint8: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
+    """rgb uint8 (B, H, W, 3) -> (B, 576, 4, 4) channel-first."""
+    return _apply_torchvision_spatial(
+        apply_bn_resnet18_trunk, p, rgb_nhwc_uint8, dtype
+    )

@@ -1,0 +1,151 @@
+"""End-to-end trainer tests on FakeSim (VERDICT item 4).
+
+(a) a full DAgger collect -> train -> checkpoint cycle through the
+    registered trainer (reference dagger_trainer.py:506-649);
+(b) episodic eval of that checkpoint producing stats_ckpt JSON
+    (base_il_trainer.py:313-583);
+(c) iterative eval producing iterative_stats/all_stats/dtw_data JSONs
+    with a finite tour-nDTW (base_il_trainer.py:585-928).
+
+Everything runs at miniature scale (64^2 depth, 2 lanes, 2-4 episodes)
+so the whole file stays within a CI-friendly budget; compile time
+dominates, not simulation.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import ivlnce_tpu.envs.env  # noqa: F401 — registration side effects
+import ivlnce_tpu.mapping.obs_transforms  # noqa: F401
+import ivlnce_tpu.models  # noqa: F401
+import ivlnce_tpu.tasks  # noqa: F401
+import ivlnce_tpu.trainers  # noqa: F401
+from ivlnce_tpu.config import get_config
+from ivlnce_tpu.utils.registry import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_config(tmp_path, trainer_name, iterative):
+    os.chdir(REPO)
+    config = get_config(
+        "configs/fake/map_cma_train_tf.yaml"
+        if iterative
+        else "configs/fake/map_cma_train_tf.yaml"
+    ).clone()
+    config.defrost()
+    config.TRAINER_NAME = trainer_name
+    config.NUM_ENVIRONMENTS = 2
+    config.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    config.TENSORBOARD_DIR = str(tmp_path / "tb")
+    config.RESULTS_DIR = str(tmp_path / "results")
+    config.EVAL_CKPT_PATH_DIR = str(tmp_path / "ckpts" / "ckpt.0.pth")
+    config.LOG_FILE = str(tmp_path / "log")
+    config.VIDEO_OPTION = []
+    config.IL.epochs = 1
+    config.IL.batch_size = 2
+    config.IL.DAGGER.iterations = 1
+    config.IL.DAGGER.update_size = 3
+    config.IL.DAGGER.lmdb_features_dir = str(tmp_path / "traj")
+    config.EVAL.SPLIT = "val_seen"
+    config.EVAL.EPISODE_COUNT = 2
+    config.EVAL.SAVE_RESULTS = True
+    # miniature sensors: compile time scales with frame size
+    t = config.TASK_CONFIG
+    t.ENVIRONMENT.MAX_EPISODE_STEPS = 25
+    t.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    t.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
+    t.SIMULATOR.RGB_SENSOR.HEIGHT = 64
+    t.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    t.ENVIRONMENT.ITERATIVE.ENABLED = iterative
+    if not iterative:
+        config.ENV_NAME = "VLNCEDaggerEnv"
+    return config
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One collect+train cycle shared by the eval tests."""
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    config = _tiny_config(tmp_path, "iterative_collection_dagger", True)
+    config.freeze()
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.train()
+    ckpts = sorted(glob.glob(str(tmp_path / "ckpts" / "*.pth")))
+    assert ckpts, "training produced no checkpoint"
+    return tmp_path, config, ckpts
+
+
+def test_dagger_cycle_produces_checkpoint_and_store(trained):
+    tmp_path, config, ckpts = trained
+    # the trajectory store holds the tours index at key 0 plus episodes
+    from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
+
+    with TrajectoryStore(str(tmp_path / "traj")) as store:
+        assert store.count() >= 3
+        idx = store.get(0)
+        assert "tours_to_idxs" in idx
+    # checkpoint loads through the trainer's own loader
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    ckpt = trainer.load_checkpoint(ckpts[0])
+    assert "params" in ckpt
+
+
+def test_episodic_eval_writes_stats(trained):
+    tmp_path, config, ckpts = trained
+    config = config.clone()
+    config.defrost()
+    config.IL.ckpt_to_load = ckpts[0]
+    config.EVAL_CKPT_PATH_DIR = ckpts[0]
+    config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENABLED = False
+    config.ENV_NAME = "VLNCEDaggerEnv"
+    config.freeze()
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.eval()
+
+    stats_files = glob.glob(
+        str(tmp_path / "results" / "stats_ckpt_*_val_seen.json")
+    )
+    assert stats_files, "episodic eval wrote no stats JSON"
+    with open(stats_files[0]) as f:
+        stats = json.load(f)
+    for key in ("success", "spl", "distance_to_goal", "ndtw"):
+        assert key in stats and np.isfinite(stats[key]), (key, stats)
+
+
+def test_iterative_eval_writes_stats_and_tndtw(trained):
+    tmp_path, config, ckpts = trained
+    config = config.clone()
+    config.defrost()
+    config.IL.ckpt_to_load = ckpts[0]
+    config.EVAL_CKPT_PATH_DIR = ckpts[0]
+    config.EVAL.ITERATIVE_GT_PATHS = "data/datasets/fake/gt_ndtw.json"
+    config.freeze()
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.eval()
+
+    it_stats = glob.glob(
+        str(tmp_path / "results" / "iterative_stats_ckpt_*_val_seen.json")
+    )
+    assert it_stats, "iterative eval wrote no stats JSON"
+    with open(it_stats[0]) as f:
+        stats = json.load(f)
+    assert "tndtw" in stats and np.isfinite(stats["tndtw"]), stats
+    all_stats = glob.glob(
+        str(
+            tmp_path / "results" / "iterative_all_stats_ckpt_*_val_seen.json"
+        )
+    )
+    assert all_stats
+    dtw_files = glob.glob(
+        str(tmp_path / "results" / "dtw_data_ckpt_*_val_seen.json")
+    )
+    assert dtw_files
+    with open(dtw_files[0]) as f:
+        dtw = json.load(f)
+    # dtw data records (position, phase, episode_id) rows per tour
+    assert dtw and all(len(v) > 0 for v in dtw.values())

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ivlnce_tpu.config import get_config
+from ivlnce_tpu.ops import scatter as S
 from ivlnce_tpu.mapping.obs_transforms import GTSemanticsIterativeMapper
 from ivlnce_tpu.models.policy import MapCMAPolicy
 
@@ -112,13 +113,13 @@ def test_fused_step_mask_clears_world(setup):
     )
     dobs = {k: jnp.asarray(v) for k, v in obs.items()}
     state1, _, _ = device_step(t.state, dobs, jnp.ones(B))
-    assert bool(np.isfinite(np.asarray(state1.height)).any())
+    assert bool((np.asarray(state1.key) != S.EMPTY_KEY).any())
     # mask 0 clears the lane's accumulated world state before the frame
     state2, _, _ = device_step(state1, dobs, jnp.zeros(B))
     # after clearing, only the current frame's points remain
-    n1 = np.isfinite(np.asarray(state1.height)).sum()
+    n1 = (np.asarray(state1.key) != S.EMPTY_KEY).sum()
     obs2 = _obs(rng)  # different pose -> different cells
     dobs2 = {k: jnp.asarray(v) for k, v in obs2.items()}
     state3, _, _ = device_step(state1, dobs2, jnp.ones(B))
-    n3 = np.isfinite(np.asarray(state3.height)).sum()
+    n3 = (np.asarray(state3.key) != S.EMPTY_KEY).sum()
     assert n3 >= n1  # accumulation grows without reset

@@ -68,6 +68,17 @@ class NumpyReferenceMapper:
         frame = np.concatenate(
             [pts[keep], labels[keep, None].astype(np.float32)], -1
         )
+        # share the build's coordinate spec: stored (x, z) roundtrip the
+        # 14-bit cell-relative quantization (ops/scatter.pack_aux) so
+        # boundary cases agree bit-for-bit
+        from ivlnce_tpu.ops import scatter as S
+
+        half = self.p.half_res
+        cr = np.round(frame[:, 2] / half).astype(np.int32)
+        cc = np.round(frame[:, 0] / half).astype(np.int32)
+        xq, zq = S.quantize_xz(frame[:, 0], frame[:, 2], cr, cc, half)
+        frame[:, 0] = np.asarray(xq)
+        frame[:, 2] = np.asarray(zq)
         frame = self.dedup(frame)
         self.world = self.dedup(np.concatenate([self.world, frame]))
 

@@ -343,3 +343,109 @@ def test_instruction_encoder_matches_torch(rng):
     )
     ours = apply_instruction_encoder(params, cfg, {"instruction": tokens})
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5, rtol=1e-4)
+
+
+class _TorchBasicBlock(tnn.Module):
+    """torchvision BasicBlock replica (torchvision absent in-image)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + idn)
+
+
+class _TorchResNet18Trunk(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for si, planes in enumerate([64, 128, 256, 512]):
+            stride = 1 if si == 0 else 2
+            blocks = []
+            for bi in range(2):
+                s = stride if bi == 0 else 1
+                ds = None
+                if bi == 0 and (s != 1 or inplanes != planes):
+                    ds = tnn.Sequential(
+                        tnn.Conv2d(inplanes, planes, 1, s, bias=False),
+                        tnn.BatchNorm2d(planes),
+                    )
+                blocks.append(_TorchBasicBlock(inplanes, planes, s, ds))
+                inplanes = planes
+            setattr(self, f"layer{si + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for i in range(1, 5):
+            x = getattr(self, f"layer{i}")(x)
+        return x
+
+
+def test_torchvision_resnet18_trunk_matches(rng):
+    torch.manual_seed(7)
+    tm = _TorchResNet18Trunk().eval()
+    for m in tm.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2)) / 255.0
+        ref = tm(t).numpy()
+
+    import jax
+
+    p = RN.init_bn_resnet18_trunk(jax.random.PRNGKey(0))
+    state = {
+        k: v for k, v in tm.state_dict().items() if not k.startswith("fc.")
+    }
+    p = merge_params(p, convert_state_dict(state))
+    ours = RN.apply_bn_resnet18_trunk(p, x / 255.0)
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=1e-3, rtol=1e-3
+    )
+
+
+def test_latent_cma_resnet18_variant_builds(rng):
+    """cnn_type=TorchVisionResNet18 changes the rgb trunk + kv dims."""
+    import jax
+
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.models.cma import init_latent_cma, apply_latent_cma
+
+    cfg = get_config().MODEL.clone()
+    cfg.defrost()
+    cfg.RGB_ENCODER.cnn_type = "TorchVisionResNet18"
+    cfg.INSTRUCTION_ENCODER.vocab_size = 40
+    cfg.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    cfg.INSTRUCTION_ENCODER.final_state_only = False
+    cfg.compute_dtype = "float32"
+    cfg.freeze()
+
+    params = init_latent_cma(jax.random.PRNGKey(0), cfg, 64)
+    assert params["rgb_kv"]["w"].shape[1] == 512 + 64  # resnet18 channels
+    obs = {
+        "instruction": rng.integers(1, 40, (2, 8)).astype(np.int32),
+        "rgb": rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8),
+        "depth": rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32),
+    }
+    rnn = np.zeros((2, 2, cfg.STATE_ENCODER.hidden_size), np.float32)
+    feats, rnn_out = apply_latent_cma(
+        params, cfg, obs, rnn, np.zeros((2, 1), np.int32),
+        np.ones((2, 1), np.float32),
+    )
+    assert feats.shape == (2, cfg.STATE_ENCODER.hidden_size)
+    assert np.isfinite(np.asarray(feats)).all()
