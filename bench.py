@@ -38,8 +38,8 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-SWEEP_LANES = (16, 64, 128)
-SWEEP_ITERS = 12
+SWEEP_LANES = (64, 128, 256, 512)
+SWEEP_ITERS = 10
 WARMUP = 40
 TRIAL_ITERS = 30
 TRIALS = 3

@@ -174,7 +174,6 @@ _C.TPU.data_parallel_devices = -1
 _C.TPU.world_grid_cells = 1024
 # use the Pallas scatter kernel in the mapper accumulate path (falls back
 # to the XLA scatter path when Mosaic cannot lower it, e.g. interpret-only)
-_C.TPU.use_pallas = False
 # donate step-state buffers (mapper world grid, RNN carry) to jit for
 # in-place HBM reuse; default off — the axon tunnel backend rejects
 # donation (InvalidArgument), enable on directly-attached TPUs
