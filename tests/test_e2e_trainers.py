@@ -82,13 +82,17 @@ def trained(tmp_path_factory):
 
 def test_dagger_cycle_produces_checkpoint_and_store(trained):
     tmp_path, config, ckpts = trained
-    # the trajectory store holds the tours index at key 0 plus episodes
+    # iterative_collection_dagger trains EPISODICALLY: the store holds
+    # plain episode records and NO tours index (only iterative_dagger
+    # passes save_tour_idx_data=True, reference
+    # iterative_dagger_trainer.py:179-182)
     from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
 
     with TrajectoryStore(str(tmp_path / "traj")) as store:
         assert store.count() >= 3
-        idx = store.get(0)
-        assert "tours_to_idxs" in idx
+        obs, prev_actions, oracle_actions = store.get(0)
+        assert len(prev_actions) == len(oracle_actions) > 0
+        assert "occupancy_map" in obs and "semantic_map" in obs
     # checkpoint loads through the trainer's own loader
     trainer = registry.get_trainer(config.TRAINER_NAME)(config)
     ckpt = trainer.load_checkpoint(ckpts[0])
