@@ -38,7 +38,7 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-SWEEP_LANES = (64, 128, 256, 512)
+SWEEP_LANES = (128, 256, 384, 512)
 SWEEP_ITERS = 10
 WARMUP = 40
 TRIAL_ITERS = 30
@@ -149,7 +149,11 @@ class TpuPipeline:
         )(params, tokens)
         obs["instruction_features"] = txt
 
-        @jax.jit
+        import functools
+
+        # donate the mapper state: in-place grid updates halve peak HBM
+        # (the two-level flush would otherwise double-buffer the big grid)
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def fused_step(params, mstate, rnn, prev, obs, masks1, masks2):
             mstate, occ, sem_map = M.mapper_step(
                 mp, mstate, obs["depth"], obs["semantics"], obs["pose"],
@@ -225,10 +229,15 @@ def bench_tpu():
     pipe = TpuPipeline()
     log(f"device: {pipe.device_kind}")
 
-    # short sweep to find the throughput-optimal lane count
+    # short sweep to find the throughput-optimal lane count (lane counts
+    # that exhaust HBM are skipped)
     best_b, best_rate = None, -1.0
     for b in SWEEP_LANES:
-        rates = pipe.measure(b, warmup=25, iters=SWEEP_ITERS, trials=2)
+        try:
+            rates = pipe.measure(b, warmup=25, iters=SWEEP_ITERS, trials=2)
+        except Exception as e:
+            log(f"sweep B={b}: skipped ({type(e).__name__})")
+            continue
         rate = float(np.median(rates))
         log(f"sweep B={b}: {rate:.1f} steps/s")
         if rate > best_rate:

@@ -175,9 +175,10 @@ _C.TPU.world_grid_cells = 1024
 # use the Pallas scatter kernel in the mapper accumulate path (falls back
 # to the XLA scatter path when Mosaic cannot lower it, e.g. interpret-only)
 # donate step-state buffers (mapper world grid, RNN carry) to jit for
-# in-place HBM reuse; default off — the axon tunnel backend rejects
-# donation (InvalidArgument), enable on directly-attached TPUs
-_C.TPU.donate_state = False
+# in-place HBM reuse; halves the mapper's peak HBM (the two-level flush
+# would otherwise double-buffer the big grid). Measured working through
+# the axon tunnel backend this round (round 1 rejected it).
+_C.TPU.donate_state = True
 # orbax checkpointing directory (defaults next to CHECKPOINT_FOLDER)
 _C.TPU.async_checkpointing = False
 # non-empty: capture a jax.profiler trace of the first eval/train steps

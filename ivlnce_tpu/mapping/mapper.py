@@ -75,6 +75,17 @@ class MapperParams(NamedTuple):
     resolution_meters: float
     grid_cells: int = 1024  # world grid side, in half-resolution cells
     window_cells: int = 192  # local window side (>= map diagonal + slack)
+    # two-level accumulation (see MapperState): frames scatter into a
+    # small per-lane ACTIVITY window that is merged into the big grid
+    # every flush_interval steps. The window must cover camera reach
+    # (FRAME_DEPTH_MAX * 10 m = 198 half-res cells) plus worst-case robot
+    # drift between flushes (flush_interval * 5 cells at 0.25 m steps).
+    flush_window_cells: int = 512
+    flush_interval: int = 8
+
+    @property
+    def flush_cells(self) -> int:
+        return min(self.flush_window_cells, self.grid_cells)
 
     @property
     def half_res(self) -> float:
@@ -109,19 +120,36 @@ class MapperState(NamedTuple):
     aux: jnp.ndarray  # (B, Gr, Gc) u32 packed [x_off | z_off | sem]
     origin: jnp.ndarray  # (B, 2) i32 world half-res cell of grid [0, 0]
     origin_set: jnp.ndarray  # (B,) bool
+    # activity window: frames scatter HERE (a few MB of random-access
+    # working set instead of the multi-GB big grid — the grid update was
+    # ~95% of the mapper's step cost, BASELINE.md); merged into the big
+    # grid every flush_interval steps and on teleports (stray detection)
+    wkey: jnp.ndarray  # (B, Wf, Wf) i32
+    waux: jnp.ndarray  # (B, Wf, Wf) u32
+    worigin: jnp.ndarray  # (B, 2) i32 absolute half-res cell of window [0,0]
+    wdirty: jnp.ndarray  # (B,) bool — window holds unflushed points
+    steps: jnp.ndarray  # () i32 global step counter (flush cadence)
 
     @property
     def batch_size(self) -> int:
         return self.key.shape[0]
 
 
-def init_state(batch_size: int, grid_cells: int) -> MapperState:
+def init_state(
+    batch_size: int, grid_cells: int, flush_window_cells: int = 512
+) -> MapperState:
     g = grid_cells
+    w = min(flush_window_cells, grid_cells)
     return MapperState(
         key=jnp.full((batch_size, g, g), S.EMPTY_KEY, jnp.int32),
         aux=jnp.zeros((batch_size, g, g), jnp.uint32),
         origin=jnp.zeros((batch_size, 2), jnp.int32),
         origin_set=jnp.zeros((batch_size,), bool),
+        wkey=jnp.full((batch_size, w, w), S.EMPTY_KEY, jnp.int32),
+        waux=jnp.zeros((batch_size, w, w), jnp.uint32),
+        worigin=jnp.zeros((batch_size, 2), jnp.int32),
+        wdirty=jnp.zeros((batch_size,), bool),
+        steps=jnp.zeros((), jnp.int32),
     )
 
 
@@ -130,11 +158,15 @@ def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
     clear_completed_episode_data, mapper.py:310-326, driven by episodic vs
     tour not_done_masks chosen by the trainer)."""
     keep3 = keep_mask[:, None, None]
-    return MapperState(
+    return state._replace(
         key=jnp.where(keep3, state.key, S.EMPTY_KEY),
         aux=jnp.where(keep3, state.aux, jnp.uint32(0)),
         origin=jnp.where(keep_mask[:, None], state.origin, 0),
         origin_set=state.origin_set & keep_mask,
+        wkey=jnp.where(keep3, state.wkey, S.EMPTY_KEY),
+        waux=jnp.where(keep3, state.waux, jnp.uint32(0)),
+        worigin=jnp.where(keep_mask[:, None], state.worigin, 0),
+        wdirty=state.wdirty & keep_mask,
     )
 
 
@@ -190,6 +222,36 @@ def mapper_step(
     origin = jnp.where(state.origin_set[:, None], state.origin, new_origin)
     state = state._replace(origin=origin, origin_set=jnp.ones((b,), bool))
 
+    # ---- two-level flush machinery -------------------------------------
+    wf = state.wkey.shape[1]
+    rr, cc = _world_cells(pose[:, 0], pose[:, 2], params.half_res)
+    robot_cell = jnp.stack([rr, cc], axis=-1)  # absolute half-res cells
+    centered = _center_window_origin(robot_cell, origin, params, wf)
+
+    # stray: the camera's reach would leave the window (teleport, or a
+    # freshly cleared lane whose window origin is stale)
+    wcenter = state.worigin + wf // 2
+    reach = int(FRAME_DEPTH_MAX * DEPTH_SCALE_METERS / params.half_res) + 2
+    strayed = (
+        jnp.max(jnp.abs(robot_cell - wcenter), axis=-1) > wf // 2 - reach
+    )
+    # clean strayed windows recenter for free (nothing to merge)
+    recenter = strayed & ~state.wdirty
+    state = state._replace(
+        worigin=jnp.where(recenter[:, None], centered, state.worigin)
+    )
+
+    steps = state.steps + 1
+    state = state._replace(steps=steps)
+    periodic = (steps % params.flush_interval) == 0
+    do_flush = jnp.any(state.wdirty & (strayed | periodic))
+    state = jax.lax.cond(
+        do_flush,
+        lambda s: _flush_windows(params, s, centered),
+        lambda s: s,
+        state,
+    )
+
     if update_world:
         state = _accumulate_frame(
             params, state, depth, semantics, pose, elevation, heading
@@ -197,6 +259,48 @@ def mapper_step(
 
     occ, sem_map = _rasterize_egocentric(params, state, pose, heading)
     return state, occ, sem_map
+
+
+def _center_window_origin(robot_cell, origin, params, wf):
+    """Window origin centering the robot, clamped inside the big grid."""
+    lo = origin
+    hi = origin + params.grid_cells - wf
+    return jnp.clip(robot_cell - wf // 2, lo, hi)
+
+
+def _flush_windows(
+    params: MapperParams, state: MapperState, centered: jnp.ndarray
+) -> MapperState:
+    """Merge every dirty activity window into the big grid, then clear
+    and recenter all windows on the robots. Runs every flush_interval
+    steps / on dirty strays (lax.cond), so its big-grid traffic is
+    amortized. Ties keep the big grid's (older) point — identical to the
+    incumbent-wins rule of the direct update."""
+    wf = state.wkey.shape[1]
+    rel = state.worigin - state.origin  # (B, 2) window start in grid coords
+
+    def slice_lane(arr, r, c):
+        return jax.lax.dynamic_slice(arr, (r, c), (wf, wf))
+
+    bkey = jax.vmap(slice_lane)(state.key, rel[:, 0], rel[:, 1])
+    baux = jax.vmap(slice_lane)(state.aux, rel[:, 0], rel[:, 1])
+    adopt = (state.wkey > bkey) & state.wdirty[:, None, None]
+    mkey = jnp.where(adopt, state.wkey, bkey)
+    maux = jnp.where(adopt, state.waux, baux)
+
+    def update_lane(arr, upd, r, c):
+        return jax.lax.dynamic_update_slice(arr, upd, (r, c))
+
+    key = jax.vmap(update_lane)(state.key, mkey, rel[:, 0], rel[:, 1])
+    aux = jax.vmap(update_lane)(state.aux, maux, rel[:, 0], rel[:, 1])
+    return state._replace(
+        key=key,
+        aux=aux,
+        wkey=jnp.full_like(state.wkey, S.EMPTY_KEY),
+        waux=jnp.zeros_like(state.waux),
+        worigin=centered,
+        wdirty=jnp.zeros_like(state.wdirty),
+    )
 
 
 def _accumulate_frame(
@@ -232,26 +336,35 @@ def _accumulate_frame(
         heights < robot_h + FRAME_HEIGHT_ABOVE
     )
 
-    # world voxel cells relative to per-lane origin
+    # world voxel cells: must land inside the big grid AND the activity
+    # window (the window covers camera reach + inter-flush drift by
+    # construction; see MapperParams.flush_window_cells)
     r_abs, c_abs = _world_cells(pts[:, :, 0], pts[:, :, 2], params.half_res)
     r = r_abs - state.origin[:, 0:1]
     c = c_abs - state.origin[:, 1:2]
     g = params.grid_cells
     valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
+    wf = state.wkey.shape[1]
+    wr = r_abs - state.worigin[:, 0:1]
+    wc = c_abs - state.worigin[:, 1:2]
+    valid &= (wr >= 0) & (wr < wf) & (wc >= 0) & (wc < wf)
+
     aux = S.pack_aux(
         pts[:, :, 0], pts[:, :, 2], sem, r_abs, c_abs, params.half_res
     )
     new_key, new_aux = S.sorted_argmax_grid_update(
-        state.key.reshape(b, -1),
-        state.aux.reshape(b, -1),
-        r * g + c,
+        state.wkey.reshape(b, -1),
+        state.waux.reshape(b, -1),
+        wr * wf + wc,
         heights,
         aux,
         valid,
     )
     return state._replace(
-        key=new_key.reshape(b, g, g), aux=new_aux.reshape(b, g, g)
+        wkey=new_key.reshape(b, wf, wf),
+        waux=new_aux.reshape(b, wf, wf),
+        wdirty=state.wdirty | jnp.any(valid, axis=1),
     )
 
 
@@ -280,6 +393,29 @@ def _rasterize_egocentric(
     slicer = jax.vmap(slice_lane)
     win_key = slicer(state.key, start_r, start_c).reshape(b, -1)
     win_aux = slicer(state.aux, start_r, start_c).reshape(b, -1)
+
+    # merge the (newer) activity window's view of the same region: per
+    # cell the higher key wins, ties keep the big grid (older = incumbent)
+    wf = state.wkey.shape[1]
+    wstart_r = start_r + state.origin[:, 0] - state.worigin[:, 0]
+    wstart_c = start_c + state.origin[:, 1] - state.worigin[:, 1]
+    w_ok = (
+        (wstart_r >= 0) & (wstart_r <= wf - wcells)
+        & (wstart_c >= 0) & (wstart_c <= wf - wcells)
+    )
+    awkey = slicer(
+        state.wkey,
+        jnp.clip(wstart_r, 0, wf - wcells),
+        jnp.clip(wstart_c, 0, wf - wcells),
+    ).reshape(b, -1)
+    awaux = slicer(
+        state.waux,
+        jnp.clip(wstart_r, 0, wf - wcells),
+        jnp.clip(wstart_c, 0, wf - wcells),
+    ).reshape(b, -1)
+    use_w = w_ok[:, None] & (awkey > win_key)
+    win_key = jnp.where(use_w, awkey, win_key)
+    win_aux = jnp.where(use_w, awaux, win_aux)
 
     # absolute half-res cell coords of every window cell
     wr = jnp.arange(wcells, dtype=jnp.int32)
@@ -312,7 +448,9 @@ def _rasterize_egocentric(
     )
     valid &= in_bounds
 
-    occupancy, _ = S.rasterize_argmax(
+    # one sort yields occupancy AND the floor-dropping semantic argmax
+    # (mapper.py:601-617); see rasterize_occupancy_semantic_sorted
+    return S.rasterize_occupancy_semantic_sorted(
         rows,
         cols,
         win_h,
@@ -320,19 +458,8 @@ def _rasterize_egocentric(
         valid,
         dims.num_rows,
         dims.num_cols,
+        floor_label=FLOOR_LABEL,
     )
-    # semantic map drops the floor label (mapper.py:601-617)
-    sem_valid = valid & (win_sem != FLOOR_LABEL)
-    _, semantic = S.rasterize_argmax(
-        rows,
-        cols,
-        win_h,
-        win_sem,
-        sem_valid,
-        dims.num_rows,
-        dims.num_cols,
-    )
-    return occupancy, semantic
 
 
 @functools.partial(jax.jit, static_argnames=("params", "max_points"))

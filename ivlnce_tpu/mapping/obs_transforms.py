@@ -95,7 +95,9 @@ class Mapper:
     # -- lane management ---------------------------------------------------------
     def _ensure_state(self, batch_size: int):
         if self.state is None or self.state.key.shape[0] != batch_size:
-            self.state = init_state(batch_size, self.params.grid_cells)
+            self.state = init_state(
+                batch_size, self.params.grid_cells, self.params.flush_cells
+            )
             self._loaded_env_names = [None] * batch_size
 
     def delete_batch_idx(self, index: int) -> None:

@@ -358,3 +358,65 @@ def sorted_argmax_grid_update(
     new_key = key_grid.at[bidx, target].set(sk, mode="drop")
     new_aux = aux_grid.at[bidx, target].set(sa, mode="drop")
     return new_key, new_aux
+
+
+def rasterize_occupancy_semantic_sorted(
+    rows: jnp.ndarray,  # (B, N) i32 map rows
+    cols: jnp.ndarray,  # (B, N) i32 map cols
+    heights: jnp.ndarray,  # (B, N) f32 argmax keys
+    labels: jnp.ndarray,  # (B, N) uint8 semantic labels (0 = floor)
+    valid: jnp.ndarray,  # (B, N) bool
+    num_rows: int,
+    num_cols: int,
+    floor_label: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Occupancy + semantic egocentric maps from ONE sort.
+
+    Replaces the pair of rasterize_argmax calls (2 x ~5 scatter/gather
+    passes over all points) in the mapper's rasterize phase: sorting by
+    (cell, is-non-floor, height, -idx) makes the LAST element of each
+    cell run simultaneously (a) proof the cell is occupied and (b) the
+    semantic winner — the max-height non-floor point when one exists
+    (floor points sort below all non-floor in the same cell), with
+    equal heights tie-breaking to the lowest point index. Exactly the
+    semantics of:
+
+        occupancy = rasterize_argmax(..., valid).occupancy
+        semantic  = rasterize_argmax(..., valid & label != floor).value
+
+    Returns (occupancy (B, R, C) uint8, semantic (B, R, C) uint8).
+    """
+    b, n = heights.shape
+    c_total = num_rows * num_cols
+    cells = jnp.where(
+        valid, rows * num_cols + cols, c_total
+    ).astype(jnp.int32)
+    nonfloor = (labels != floor_label).astype(jnp.int32)
+    key_i = sortable_from_float(heights)
+    neg_idx = jnp.broadcast_to(
+        -jnp.arange(n, dtype=jnp.int32)[None, :], (b, n)
+    )
+    sc, _, sk, _, sl = jax.lax.sort(
+        (cells, nonfloor, key_i, neg_idx, labels.astype(jnp.int32)),
+        num_keys=4,
+    )
+    is_last = jnp.concatenate(
+        [sc[:, :-1] != sc[:, 1:], jnp.ones((b, 1), bool)], axis=1
+    )
+    win = is_last & (sc < c_total)
+    target = jnp.where(win, sc, c_total)
+    bidx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, n)
+    )
+    occupancy = (
+        jnp.zeros((b, c_total), jnp.uint8)
+        .at[bidx, target].set(jnp.uint8(1), mode="drop")
+        .reshape(b, num_rows, num_cols)
+    )
+    semantic = (
+        jnp.zeros((b, c_total), jnp.uint8)
+        .at[bidx, target]
+        .set(sl.astype(jnp.uint8), mode="drop")
+        .reshape(b, num_rows, num_cols)
+    )
+    return occupancy, semantic

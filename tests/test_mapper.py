@@ -138,7 +138,9 @@ def synth_frame(rng, hw, near=0.05, far=0.6):
     return depth, sem
 
 
-@pytest.mark.parametrize("steps", [4])
+# 12 steps crosses the two-level flush boundary (flush_interval=8), so
+# window->big-grid merging is exercised against the reference
+@pytest.mark.parametrize("steps", [4, 12])
 def test_mapper_matches_numpy_reference_over_episode(rng, steps):
     params = make_params()
     hw = params.camera.features_spatial_dimensions[0]
@@ -183,9 +185,13 @@ def test_mapper_matches_numpy_reference_over_episode(rng, steps):
                 semmap[b], rs, err_msg=f"semantic mismatch lane {b} step {t}"
             )
 
-        # robot walks and turns
+        # robot walks and turns; at step 6 lane 0 teleports (oracle
+        # failure recovery) — the stray-triggered flush must not lose or
+        # corrupt accumulated state
         pose = pose + np.array([[0.2, 0.0, -0.15], [-0.1, 0.0, 0.2]], np.float32)
         heading = heading + np.array([0.13, -0.2], np.float32)
+        if t == 5:
+            pose = pose + np.array([[4.0, 0.0, -3.5], [0.0, 0.0, 0.0]], np.float32)
 
 
 def test_mapper_lane_reset_clears_world_state(rng):

@@ -145,7 +145,9 @@ def test_eval_sample_actions(setup):
 
     rng = np.random.default_rng(1)
     batch = _eval_obs(rng, B)
-    rnn = policy.initial_rnn_states(B)
+    # host copy: TPU.donate_state deletes device inputs after a step,
+    # and this test deliberately reuses the same carry twice
+    rnn = np.asarray(policy.initial_rnn_states(B))
     prev = np.zeros((B, 1), np.int64)
     masks = np.ones((B, 1), np.uint8)
 
