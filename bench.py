@@ -38,13 +38,13 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-SWEEP_LANES = (128, 256, 384, 512)
+SWEEP_LANES = (256, 384, 512, 768)
 SWEEP_ITERS = 10
 WARMUP = 40
 TRIAL_ITERS = 30
 TRIALS = 3
 TORCH_B = 16
-TORCH_ITERS = 4
+TORCH_ITERS = 8
 
 # bf16 peak FLOP/s per chip by device kind (MXU); fallback conservative
 PEAK_BF16 = {
@@ -468,8 +468,8 @@ def bench_torch(B) -> float:
         prev = head(h2).argmax(-1)
 
     step()  # warmup
-    best = 0.0
-    for trial in range(2):
+    rates = []
+    for trial in range(3):
         t0 = time.time()
         for _ in range(TORCH_ITERS):
             step()
@@ -479,8 +479,8 @@ def bench_torch(B) -> float:
             f"torch-cpu trial {trial}: {TORCH_ITERS} steps x {B} lanes in "
             f"{dt:.2f}s = {sps:.1f} steps/s"
         )
-        best = max(best, sps)
-    return best
+        rates.append(sps)
+    return float(np.median(rates))
 
 
 def main():
