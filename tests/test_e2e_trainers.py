@@ -153,3 +153,44 @@ def test_iterative_eval_writes_stats_and_tndtw(trained):
         dtw = json.load(f)
     # dtw data records (position, phase, episode_id) rows per tour
     assert dtw and all(len(v) > 0 for v in dtw.values())
+
+
+def test_iterative_dagger_tour_bptt_cycle(tmp_path_factory):
+    """The third trainer family end to end: iterative collection with the
+    tours index at store key 0, TourSampler binpacking, and the
+    truncated-BPTT train loop with the rnn carry across batches
+    (reference iterative_dagger_trainer.py:96-253)."""
+    tmp_path = tmp_path_factory.mktemp("tour")
+    os.chdir(REPO)
+    config = get_config("configs/fake/tour_cma_train.yaml").clone()
+    config.defrost()
+    config.NUM_ENVIRONMENTS = 2
+    config.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    config.TENSORBOARD_DIR = str(tmp_path / "tb")
+    config.RESULTS_DIR = str(tmp_path / "results")
+    config.LOG_FILE = str(tmp_path / "log")
+    config.IL.epochs = 1
+    config.IL.batch_size = 2
+    config.IL.DAGGER.iterations = 1
+    config.IL.DAGGER.update_size = 3
+    config.IL.DAGGER.lmdb_features_dir = str(tmp_path / "traj")
+    t = config.TASK_CONFIG
+    t.ENVIRONMENT.MAX_EPISODE_STEPS = 20
+    t.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    t.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
+    t.SIMULATOR.RGB_SENSOR.HEIGHT = 64
+    t.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    config.freeze()
+
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.train()
+
+    ckpts = glob.glob(str(tmp_path / "ckpts" / "*.pth"))
+    assert ckpts, "tour-BPTT training produced no checkpoint"
+    # the tours index lives at store key 0 for this trainer
+    from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
+
+    with TrajectoryStore(str(tmp_path / "traj")) as store:
+        idx = store.get(0)
+        assert "tours_to_idxs" in idx
+        assert sum(len(v) for v in idx["tours_to_idxs"].values()) >= 3
