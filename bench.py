@@ -226,13 +226,21 @@ class TpuPipeline:
 
 
 def bench_tpu():
+    # wall-clock budget: the tunnel's speed varies ~10x between runs and
+    # the driver must always receive the JSON line — skip remaining sweep
+    # points (and shrink the final measurement) when running long
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
     pipe = TpuPipeline()
     log(f"device: {pipe.device_kind}")
 
     # short sweep to find the throughput-optimal lane count (lane counts
     # that exhaust HBM are skipped)
-    best_b, best_rate = None, -1.0
+    best_b, best_rate, best_rates = None, -1.0, None
     for b in SWEEP_LANES:
+        if best_b is not None and time.time() - t_start > budget_s * 0.55:
+            log(f"sweep B={b}: skipped (budget)")
+            continue
         try:
             rates = pipe.measure(b, warmup=25, iters=SWEEP_ITERS, trials=2)
         except Exception as e:
@@ -241,11 +249,22 @@ def bench_tpu():
         rate = float(np.median(rates))
         log(f"sweep B={b}: {rate:.1f} steps/s")
         if rate > best_rate:
-            best_b, best_rate = b, rate
+            best_b, best_rate, best_rates = b, rate, rates
 
-    rates = pipe.measure(
-        best_b, warmup=WARMUP, iters=TRIAL_ITERS, trials=TRIALS
-    )
+    remaining = budget_s - (time.time() - t_start)
+    if remaining < 120:
+        log("budget exhausted: reporting sweep medians")
+        rates = best_rates
+    else:
+        trials = TRIALS if remaining > 400 else 2
+        try:
+            rates = pipe.measure(
+                best_b, warmup=WARMUP, iters=TRIAL_ITERS, trials=trials
+            )
+        except Exception as e:
+            log(f"final measurement failed ({type(e).__name__}); "
+                "using sweep rates")
+            rates = best_rates
     med = float(np.median(rates))
     spread = float((rates.max() - rates.min()) / max(med, 1e-9))
     flops_step = pipe._flops  # per fused-step dispatch (covers best_b lanes)
