@@ -38,7 +38,7 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-SWEEP_LANES = (256, 384, 512, 768)
+SWEEP_LANES = (512, 256, 768, 384)  # historically-best first: budget cuts tail
 SWEEP_ITERS = 10
 WARMUP = 40
 TRIAL_ITERS = 30
