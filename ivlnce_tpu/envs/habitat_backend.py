@@ -272,12 +272,23 @@ class HabitatSimAdapter:
             return self._postprocess(self._sim.get_sensor_observations())
         before = np.asarray(self._agent.get_state().position, np.float64)
         raw = self._sim.step(action)
-        after = np.asarray(self._agent.get_state().position, np.float64)
-        moved = float(np.linalg.norm(after - before))
-        self.previous_step_collided = (
-            action == SimActions.MOVE_FORWARD
-            and moved < 0.5 * self.forward_step
-        )
+        # habitat-sim reports collisions in the raw step obs ("collided");
+        # habitat-lab's previous_step_collided reads exactly that key
+        # (habitat_simulator.py _prev_sim_obs.get("collided")). Use it when
+        # present — the distance heuristic below misses ALLOW_SLIDING
+        # collisions that slide more than half the step (ADVICE r2).
+        collided = raw.get("collided") if isinstance(raw, dict) else None
+        if collided is not None:
+            self.previous_step_collided = bool(collided)
+        else:
+            after = np.asarray(
+                self._agent.get_state().position, np.float64
+            )
+            moved = float(np.linalg.norm(after - before))
+            self.previous_step_collided = (
+                action == SimActions.MOVE_FORWARD
+                and moved < 0.5 * self.forward_step
+            )
         return self._postprocess(raw)
 
     # -- agent state --------------------------------------------------------

@@ -88,6 +88,38 @@ class MapperParams(NamedTuple):
         return min(self.flush_window_cells, self.grid_cells)
 
     @property
+    def reach_cells(self) -> int:
+        """Camera reach in half-res cells (+2 rounding slack)."""
+        return int(FRAME_DEPTH_MAX * DEPTH_SCALE_METERS / self.half_res) + 2
+
+    def validate(self) -> None:
+        """Fail loudly on geometry that would silently truncate maps.
+
+        The activity window only holds a frame's points when camera reach
+        fits inside its half-width: stray detection recenters the window
+        whenever the robot drifts within ``reach`` of an edge, so after
+        any recenter the frame fits iff ``reach < flush_cells // 2``.
+        Below that bound (e.g. resolution_meters < ~0.08 at the default
+        512-cell window, or a shrunken flush_window_cells) far points are
+        masked out of the accumulate with no error (ADVICE r2).
+
+        When the window covers the ENTIRE grid the check is moot: window
+        bounds coincide with grid bounds, so nothing is dropped beyond
+        the documented bounded-world-extent divergence."""
+        if (
+            self.flush_cells < self.grid_cells
+            and self.reach_cells >= self.flush_cells // 2
+        ):
+            raise ValueError(
+                "MapperParams: camera reach "
+                f"({self.reach_cells} half-res cells at resolution_meters="
+                f"{self.resolution_meters}) must be < flush window half-"
+                f"width ({self.flush_cells // 2}); raise flush_window_cells "
+                "or coarsen the resolution, else far depth points are "
+                "silently dropped from the map"
+            )
+
+    @property
     def half_res(self) -> float:
         # voxel dedup runs at half the map resolution (mapper.py:464)
         return self.resolution_meters / 2
@@ -209,6 +241,7 @@ def mapper_step(
     INSIDE the jit: a single eager slice per step costs ~1 s through the
     axon dispatch path, so callers pass sensor arrays as-is.
     """
+    params.validate()  # trace-time: misconfigured windows fail loudly
     if depth.ndim == 4:
         depth = depth[..., 0]
     if heading is None:
@@ -231,7 +264,7 @@ def mapper_step(
     # stray: the camera's reach would leave the window (teleport, or a
     # freshly cleared lane whose window origin is stale)
     wcenter = state.worigin + wf // 2
-    reach = int(FRAME_DEPTH_MAX * DEPTH_SCALE_METERS / params.half_res) + 2
+    reach = params.reach_cells
     strayed = (
         jnp.max(jnp.abs(robot_cell - wcenter), axis=-1) > wf // 2 - reach
     )

@@ -396,7 +396,7 @@ def rasterize_occupancy_semantic_sorted(
     neg_idx = jnp.broadcast_to(
         -jnp.arange(n, dtype=jnp.int32)[None, :], (b, n)
     )
-    sc, _, sk, _, sl = jax.lax.sort(
+    sc, snf, sk, _, sl = jax.lax.sort(
         (cells, nonfloor, key_i, neg_idx, labels.astype(jnp.int32)),
         num_keys=4,
     )
@@ -413,10 +413,14 @@ def rasterize_occupancy_semantic_sorted(
         .at[bidx, target].set(jnp.uint8(1), mode="drop")
         .reshape(b, num_rows, num_cols)
     )
+    # an all-floor cell's winner is a floor point: the old two-call path
+    # (semantic rasterize over valid & non-floor) left such cells at 0,
+    # so mask the written label rather than emitting floor_label
+    sem_val = jnp.where(snf == 1, sl, 0).astype(jnp.uint8)
     semantic = (
         jnp.zeros((b, c_total), jnp.uint8)
         .at[bidx, target]
-        .set(sl.astype(jnp.uint8), mode="drop")
+        .set(sem_val, mode="drop")
         .reshape(b, num_rows, num_cols)
     )
     return occupancy, semantic

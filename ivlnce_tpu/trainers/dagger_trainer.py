@@ -460,8 +460,10 @@ class DaggerTrainer(BaseVLNCETrainer):
     def _collect_step(self, batch, reset_masks, rnn_states, prev_actions,
                       masks, rng_key, iterative: bool):
         """Fixed-lane fused collection step. Returns (PolicyOutput with
-        live-lane numpy actions/logits and the full-width rnn carry,
-        live-lane numpy features dict, batch with live-lane maps)."""
+        live-lane numpy actions, a FULL-WIDTH device logits array (index
+        it with lane rows, not live-lane positions) and the full-width
+        rnn carry, live-lane numpy features dict, batch with live-lane
+        maps)."""
         import jax.numpy as jnp
 
         from ivlnce_tpu.models.policy import PolicyOutput
@@ -581,42 +583,44 @@ class DaggerTrainer(BaseVLNCETrainer):
                 for epoch in range(config.IL.epochs):
                     # decode/collate the next batches while the device
                     # runs the current update (reference: DataLoader
-                    # workers, dagger_trainer.py:568-576)
-                    for batch in prefetch(dataset.batches(), depth=3):
-                        (
-                            observations, prev_actions, not_done_masks,
-                            corrected, weights,
-                        ) = batch
-                        loss, action_loss, aux_loss, _ = self._update_agent(
-                            {
-                                k: v.astype(np.float32)
-                                if v.dtype == np.float16
-                                else v
-                                for k, v in observations.items()
-                            },
-                            prev_actions,
-                            not_done_masks,
-                            corrected,
-                            weights,
-                        )
-                        logger.info(
-                            f"train_loss: {loss:.4f} action: "
-                            f"{action_loss:.4f} aux: {aux_loss:.4f} "
-                            f"(dagger {dagger_it} epoch {epoch} "
-                            f"batch {step_id})"
-                        )
-                        writer.add_scalar(
-                            f"train_loss_iter_{dagger_it}", loss, step_id
-                        )
-                        writer.add_scalar(
-                            f"train_action_loss_iter_{dagger_it}",
-                            action_loss, step_id,
-                        )
-                        writer.add_scalar(
-                            f"train_aux_loss_iter_{dagger_it}",
-                            aux_loss, step_id,
-                        )
-                        step_id += 1
+                    # workers, dagger_trainer.py:568-576); the with
+                    # block stops the producer thread on early exits
+                    with prefetch(dataset.batches(), depth=3) as batches:
+                        for batch in batches:
+                            (
+                                observations, prev_actions, not_done_masks,
+                                corrected, weights,
+                            ) = batch
+                            loss, action_loss, aux_loss, _ = self._update_agent(
+                                {
+                                    k: v.astype(np.float32)
+                                    if v.dtype == np.float16
+                                    else v
+                                    for k, v in observations.items()
+                                },
+                                prev_actions,
+                                not_done_masks,
+                                corrected,
+                                weights,
+                            )
+                            logger.info(
+                                f"train_loss: {loss:.4f} action: "
+                                f"{action_loss:.4f} aux: {aux_loss:.4f} "
+                                f"(dagger {dagger_it} epoch {epoch} "
+                                f"batch {step_id})"
+                            )
+                            writer.add_scalar(
+                                f"train_loss_iter_{dagger_it}", loss, step_id
+                            )
+                            writer.add_scalar(
+                                f"train_action_loss_iter_{dagger_it}",
+                                action_loss, step_id,
+                            )
+                            writer.add_scalar(
+                                f"train_aux_loss_iter_{dagger_it}",
+                                aux_loss, step_id,
+                            )
+                            step_id += 1
 
                     self.save_checkpoint(
                         f"ckpt.{dagger_it * config.IL.epochs + epoch}.pth",

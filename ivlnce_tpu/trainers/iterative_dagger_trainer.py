@@ -134,38 +134,41 @@ class IterativeDaggerTrainer(IterativeCollectionDaggerTrainer):
                     rnn_states = self.policy.initial_rnn_states(
                         config.IL.batch_size
                     )
-                    for batch in prefetch(dataset.batches(sampler), depth=3):
-                        (
-                            observations, prev_actions, episode_masks,
-                            tour_masks, corrected, weights,
-                        ) = batch
-                        observations = {
-                            k: v.astype(np.float32)
-                            if v.dtype == np.float16
-                            else v
-                            for k, v in observations.items()
-                        }
-                        (
-                            loss, action_loss, aux_loss, rnn_states,
-                        ) = self._update_agent_iterative(
-                            observations,
-                            prev_actions,
-                            episode_masks,
-                            tour_masks,
-                            corrected,
-                            weights,
-                            rnn_states=rnn_states,
-                        )
-                        logger.info(
-                            f"train_loss: {loss:.4f} action: "
-                            f"{action_loss:.4f} aux: {aux_loss:.4f} "
-                            f"(dagger {dagger_it} epoch {epoch} "
-                            f"batch {step_id})"
-                        )
-                        writer.add_scalar(
-                            f"train_loss_iter_{dagger_it}", loss, step_id
-                        )
-                        step_id += 1
+                    with prefetch(
+                        dataset.batches(sampler), depth=3
+                    ) as batches:
+                        for batch in batches:
+                            (
+                                observations, prev_actions, episode_masks,
+                                tour_masks, corrected, weights,
+                            ) = batch
+                            observations = {
+                                k: v.astype(np.float32)
+                                if v.dtype == np.float16
+                                else v
+                                for k, v in observations.items()
+                            }
+                            (
+                                loss, action_loss, aux_loss, rnn_states,
+                            ) = self._update_agent_iterative(
+                                observations,
+                                prev_actions,
+                                episode_masks,
+                                tour_masks,
+                                corrected,
+                                weights,
+                                rnn_states=rnn_states,
+                            )
+                            logger.info(
+                                f"train_loss: {loss:.4f} action: "
+                                f"{action_loss:.4f} aux: {aux_loss:.4f} "
+                                f"(dagger {dagger_it} epoch {epoch} "
+                                f"batch {step_id})"
+                            )
+                            writer.add_scalar(
+                                f"train_loss_iter_{dagger_it}", loss, step_id
+                            )
+                            step_id += 1
                     dataset.close()
 
                     self.save_checkpoint(

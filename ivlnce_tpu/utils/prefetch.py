@@ -35,13 +35,27 @@ class PrefetchIterator:
     def _produce(self, it: Iterator[T]) -> None:
         try:
             for item in it:
+                # timed put: an abandoned consumer (break/exception
+                # mid-epoch) leaves the queue full forever; re-checking
+                # _done lets the producer exit instead of leaking a
+                # thread pinning the underlying batch iterator (ADVICE r2)
+                while not self._done.is_set():
+                    try:
+                        self._q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
                 if self._done.is_set():
                     return
-                self._q.put(item)
         except BaseException as e:  # propagate into the consumer
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            while not self._done.is_set():  # same timed put for the sentinel
+                try:
+                    self._q.put(_SENTINEL, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -49,11 +63,18 @@ class PrefetchIterator:
     def __next__(self) -> T:
         item = self._q.get()
         if item is _SENTINEL:
+            self._done.set()
             self._thread.join(timeout=5)
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def close(self) -> None:
         """Stop the producer early (e.g. on epoch break)."""
@@ -64,6 +85,9 @@ class PrefetchIterator:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+
+    def __del__(self):  # last-resort cleanup for abandoned iterators
+        self._done.set()
 
 
 def prefetch(iterable: Iterable[T], depth: int = 3) -> Iterator[T]:

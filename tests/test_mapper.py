@@ -275,3 +275,31 @@ def test_mapper_known_map_preload(rng):
         update_world=False,
     )
     assert np.asarray(occ2).sum() == 0
+
+
+def test_mapper_params_validate_rejects_short_window():
+    """flush window smaller than camera reach must fail loudly instead
+    of silently truncating the map (ADVICE r2 medium)."""
+    cam = CameraParameters(
+        vertical_fov_radians=math.radians(60.0),
+        features_spatial_dimensions=(16, 16),
+        height_clip=0.1,
+    )
+    bad = MapperParams(
+        camera=cam,
+        map_height_meters=6.4,
+        map_width_meters=6.4,
+        resolution_meters=0.05,  # half_res 0.025 -> reach 398 > 512/2
+        grid_cells=1024,
+        window_cells=192,
+        flush_window_cells=512,
+    )
+    with pytest.raises(ValueError, match="reach"):
+        bad.validate()
+    # default geometry stays valid
+    MapperParams(
+        camera=cam,
+        map_height_meters=6.4,
+        map_width_meters=6.4,
+        resolution_meters=0.1,
+    ).validate()

@@ -89,3 +89,22 @@ def test_vector_env_step_async_wait(use_processes, monkeypatch):
         assert len(outputs2) == len(outputs)
     finally:
         envs.close()
+
+
+def test_prefetch_abandoned_consumer_releases_producer():
+    """Breaking out of the consumer loop must not leave the producer
+    blocked on a full queue forever (ADVICE r2)."""
+    import threading
+    import time
+
+    from ivlnce_tpu.utils.prefetch import prefetch
+
+    started = threading.active_count()
+    with prefetch(iter(range(10_000)), depth=1) as it:
+        for x in it:
+            if x >= 2:
+                break
+    deadline = time.time() + 5.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= started

@@ -155,3 +155,22 @@ def test_ops_jit_and_vmap_compatible(rng):
     )
     assert occ.shape == (B, R, C)
     assert val.shape == (B, R, C)
+
+
+def test_rasterize_sorted_all_floor_cell_writes_zero(rng):
+    """With a nonzero floor_label, an all-floor cell must still emit 0
+    in the semantic map (old two-call semantics: the semantic rasterize
+    only saw non-floor points). ADVICE r2 regression."""
+    B, R, C = 1, 4, 4
+    floor = 7
+    rows = np.array([[0, 0, 1]], np.int32)
+    cols = np.array([[0, 0, 0]], np.int32)
+    heights = np.array([[0.5, 0.9, 0.3]], np.float32)
+    labels = np.array([[floor, floor, 3]], np.uint8)  # cell(0,0) all-floor
+    valid = np.ones((B, 3), bool)
+    occ, sem = S.rasterize_occupancy_semantic_sorted(
+        rows, cols, heights, labels, valid, R, C, floor_label=floor
+    )
+    occ, sem = np.asarray(occ), np.asarray(sem)
+    assert occ[0, 0, 0] == 1 and sem[0, 0, 0] == 0  # occupied, label void
+    assert occ[0, 1, 0] == 1 and sem[0, 1, 0] == 3  # non-floor winner
