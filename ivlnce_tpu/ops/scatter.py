@@ -305,6 +305,62 @@ def quantize_xz(x, z, cell_r, cell_c, half_res: float):
     return xq, zq
 
 
+# Compact-list sentinel: sorts after every real cell id and is dropped by
+# out-of-bounds scatters (any real grid has < 2^31 - 1 cells).
+LIST_EMPTY = 2 ** 31 - 1
+
+
+def merge_points_into_list(
+    list_cell: jnp.ndarray,  # (B, M) i32 sorted unique cell ids; LIST_EMPTY pad
+    list_key: jnp.ndarray,  # (B, M) i32 sortable keys
+    list_aux: jnp.ndarray,  # (B, M) u32 payloads
+    cells: jnp.ndarray,  # (B, N) i32 point cell ids (any value if invalid)
+    keys_f32: jnp.ndarray,  # (B, N) f32 argmax keys (heights)
+    aux: jnp.ndarray,  # (B, N) u32 payloads
+    valid: jnp.ndarray,  # (B, N) bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Merge a frame's points into a sorted compact per-lane cell list —
+    the scatter-free world-map accumulator.
+
+    Measured motivation (BASELINE.md r3): XLA TPU scatter costs ~8 ns and
+    gather ~20 ns PER UPDATE SLOT (serialized, update-count-bound), so the
+    old dense-window scatter burned ~2 s/step at B=768 x 65k points, while
+    lax.sort runs at vector speed (~0.4 ns/element/operand). Two stable
+    sorts replace the scatter+gather entirely:
+
+    1. concatenate [points (REVERSED), list] and sort by (cell, key):
+       per cell run, the LAST element is the winner. Stability + the
+       ordering make ties exact: equal-key points resolve to the LOWEST
+       original point index (reversal), and an equal-key incumbent list
+       entry sorts after all equal points, so INCUMBENTS WIN ties —
+       identical semantics to sorted_argmax_grid_update.
+    2. re-sort by (winner ? cell : LIST_EMPTY): winners compact to the
+       front in cell order = the new sorted list; pads carry LIST_EMPTY.
+
+    Returns (list_cell, list_key, list_aux, fill) where ``fill`` is the
+    per-lane winner count. Callers must flush the list into the dense
+    grid before ``fill + N`` can exceed M (mapper.mapper_step) — the
+    truncation to M below is only safe under that invariant.
+    """
+    b, m = list_cell.shape
+    key_i = sortable_from_float(keys_f32)
+    pc = jnp.where(valid, cells, LIST_EMPTY)[:, ::-1]
+    pk = key_i[:, ::-1]
+    pa = aux[:, ::-1]
+    mc = jnp.concatenate([pc, list_cell], axis=1)
+    mk = jnp.concatenate([pk, list_key], axis=1)
+    ma = jnp.concatenate([pa, list_aux], axis=1)
+    sc, sk, sa = jax.lax.sort((mc, mk, ma), num_keys=2, is_stable=True)
+    is_last = jnp.concatenate(
+        [sc[:, :-1] != sc[:, 1:], jnp.ones((b, 1), bool)], axis=1
+    )
+    win = is_last & (sc != LIST_EMPTY)
+    fill = jnp.sum(win, axis=1).astype(jnp.int32)
+    tgt = jnp.where(win, sc, LIST_EMPTY)
+    c2, k2, a2 = jax.lax.sort((tgt, sk, sa), num_keys=1, is_stable=True)
+    return c2[:, :m], k2[:, :m], a2[:, :m], fill
+
+
 def sorted_argmax_grid_update(
     key_grid: jnp.ndarray,  # (B, C) int32 sortable keys; EMPTY_KEY empty
     aux_grid: jnp.ndarray,  # (B, C) uint32 packed payloads
@@ -384,6 +440,17 @@ def rasterize_occupancy_semantic_sorted(
         occupancy = rasterize_argmax(..., valid).occupancy
         semantic  = rasterize_argmax(..., valid & label != floor).value
 
+    Tie rule: among equal (cell, non-floor, height) the winner is the
+    LOWEST point index (points are fed to the stable sort reversed) —
+    the reference's own order is implementation-defined scatter order
+    (mapper.py:569-571), so any deterministic rule is parity-safe.
+
+    The final scatters are COMPACTED: winners number at most one per map
+    cell (<= R*C, typically << N), so a cheap third sort moves them to
+    the front and the scatter covers min(N, R*C) slots instead of N —
+    TPU scatter cost is per-slot (~8 ns, BASELINE.md r3), which made the
+    uncompacted scatter the dominant rasterize cost at production sizes.
+
     Returns (occupancy (B, R, C) uint8, semantic (B, R, C) uint8).
     """
     b, n = heights.shape
@@ -393,34 +460,47 @@ def rasterize_occupancy_semantic_sorted(
     ).astype(jnp.int32)
     nonfloor = (labels != floor_label).astype(jnp.int32)
     key_i = sortable_from_float(heights)
-    neg_idx = jnp.broadcast_to(
-        -jnp.arange(n, dtype=jnp.int32)[None, :], (b, n)
-    )
-    sc, snf, sk, _, sl = jax.lax.sort(
-        (cells, nonfloor, key_i, neg_idx, labels.astype(jnp.int32)),
-        num_keys=4,
+    # reversed input: stable sort leaves the lowest original index LAST
+    # within equal (cell, nonfloor, key) runs, i.e. as the run winner
+    sc, snf, sk, sl = jax.lax.sort(
+        (
+            cells[:, ::-1],
+            nonfloor[:, ::-1],
+            key_i[:, ::-1],
+            labels[:, ::-1].astype(jnp.int32),
+        ),
+        num_keys=3,
+        is_stable=True,
     )
     is_last = jnp.concatenate(
         [sc[:, :-1] != sc[:, 1:], jnp.ones((b, 1), bool)], axis=1
     )
     win = is_last & (sc < c_total)
+    # an all-floor cell's winner is a floor point: the old two-call path
+    # (semantic rasterize over valid & non-floor) left such cells at 0,
+    # so mask the written label rather than emitting floor_label
+    sem_val = jnp.where(win & (snf == 1), sl, 0).astype(jnp.int32)
     target = jnp.where(win, sc, c_total)
+
+    k = min(n, c_total)
+    if k < n:  # compact winners to the front, scatter only k slots
+        target, sem_val = jax.lax.sort(
+            (target, sem_val), num_keys=1, is_stable=True
+        )
+        target = target[:, :k]
+        sem_val = sem_val[:, :k]
     bidx = jnp.broadcast_to(
-        jnp.arange(b, dtype=jnp.int32)[:, None], (b, n)
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, k)
     )
     occupancy = (
         jnp.zeros((b, c_total), jnp.uint8)
         .at[bidx, target].set(jnp.uint8(1), mode="drop")
         .reshape(b, num_rows, num_cols)
     )
-    # an all-floor cell's winner is a floor point: the old two-call path
-    # (semantic rasterize over valid & non-floor) left such cells at 0,
-    # so mask the written label rather than emitting floor_label
-    sem_val = jnp.where(snf == 1, sl, 0).astype(jnp.uint8)
     semantic = (
         jnp.zeros((b, c_total), jnp.uint8)
         .at[bidx, target]
-        .set(sem_val, mode="drop")
+        .set(sem_val.astype(jnp.uint8), mode="drop")
         .reshape(b, num_rows, num_cols)
     )
     return occupancy, semantic

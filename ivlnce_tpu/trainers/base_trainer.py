@@ -903,6 +903,9 @@ class BaseVLNCETrainer:
             )
 
         envs.close()
+        for transform in self.obs_transforms:
+            if hasattr(transform, "warn_if_dropped"):
+                transform.warn_if_dropped("episodic eval")
 
         aggregated_stats = {}
         num_episodes = max(len(stats_episodes), 1)
@@ -1109,6 +1112,9 @@ class BaseVLNCETrainer:
             )
 
         envs.close()
+        for transform in self.obs_transforms:
+            if hasattr(transform, "warn_if_dropped"):
+                transform.warn_if_dropped("iterative eval")
 
         fname = os.path.join(
             config.RESULTS_DIR, f"dtw_data_ckpt_{checkpoint_index}_{split}.json"

@@ -113,11 +113,11 @@ def test_fused_step_mask_clears_world(setup):
     )
     dobs = {k: jnp.asarray(v) for k, v in obs.items()}
     def occupied(state):
-        # points live in the activity window until a periodic flush
-        # merges them into the big grid (two-level accumulation)
+        # points live in the compact list until a capacity flush merges
+        # them into the big grid (two-level accumulation)
         return (
             (np.asarray(state.key) != S.EMPTY_KEY).sum()
-            + (np.asarray(state.wkey) != S.EMPTY_KEY).sum()
+            + (np.asarray(state.lcell) != S.LIST_EMPTY).sum()
         )
 
     state1, _, _ = device_step(t.state, dobs, jnp.ones(B))

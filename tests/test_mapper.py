@@ -277,24 +277,23 @@ def test_mapper_known_map_preload(rng):
     assert np.asarray(occ2).sum() == 0
 
 
-def test_mapper_params_validate_rejects_short_window():
-    """flush window smaller than camera reach must fail loudly instead
-    of silently truncating the map (ADVICE r2 medium)."""
+def test_mapper_params_validate_rejects_small_list():
+    """A compact list smaller than one depth frame must fail loudly
+    instead of silently truncating the map (ADVICE r2 medium spirit:
+    misconfiguration must never silently drop points)."""
     cam = CameraParameters(
         vertical_fov_radians=math.radians(60.0),
-        features_spatial_dimensions=(16, 16),
+        features_spatial_dimensions=(256, 256),
         height_clip=0.1,
     )
     bad = MapperParams(
         camera=cam,
         map_height_meters=6.4,
         map_width_meters=6.4,
-        resolution_meters=0.05,  # half_res 0.025 -> reach 398 > 512/2
-        grid_cells=1024,
-        window_cells=192,
-        flush_window_cells=512,
+        resolution_meters=0.1,
+        list_capacity=4096,  # < 256*256 frame points
     )
-    with pytest.raises(ValueError, match="reach"):
+    with pytest.raises(ValueError, match="list_capacity"):
         bad.validate()
     # default geometry stays valid
     MapperParams(
@@ -303,3 +302,50 @@ def test_mapper_params_validate_rejects_short_window():
         map_width_meters=6.4,
         resolution_meters=0.1,
     ).validate()
+
+
+def test_mapper_counts_out_of_extent_drops(rng):
+    """A walk whose frames reach beyond the bounded world grid must
+    count the lost points instead of truncating silently (VERDICT r2
+    weak #6)."""
+    import jax.numpy as jnp
+
+    hw = 16
+    params = MapperParams(
+        camera=CameraParameters(
+            vertical_fov_radians=math.radians(79.0),
+            features_spatial_dimensions=(hw, hw),
+            height_clip=0.1,
+        ),
+        map_height_meters=6.4,
+        map_width_meters=6.4,
+        resolution_meters=0.1,
+        grid_cells=64,  # 3.2 m extent << 9.9 m camera reach
+        window_cells=32,
+    )
+    state = init_state(2, params.grid_cells, params.list_capacity)
+    depth = np.full((2, hw, hw), 0.8, np.float32)  # 8 m: outside extent
+    sem = np.ones((2, hw, hw), np.uint8)
+    pose = np.array([[0.0, 1.25, 0.0]] * 2, np.float32)
+    zeros = np.zeros((2,), np.float32)
+    ones = np.ones((2,), np.float32)
+    state, _, _ = mapper_step(
+        params, state, jnp.asarray(depth), jnp.asarray(sem),
+        jnp.asarray(pose), jnp.asarray(zeros), jnp.asarray(zeros),
+        jnp.asarray(ones),
+    )
+    dropped = np.asarray(state.dropped)
+    assert (dropped > 0).all()
+    # lane clear resets the counter
+    state2 = M.clear_lanes(state, jnp.asarray(np.array([True, False])))
+    d2 = np.asarray(state2.dropped)
+    assert d2[0] == dropped[0] and d2[1] == 0
+    # nearby frames drop nothing
+    state3, _, _ = mapper_step(
+        params, state2,
+        jnp.asarray(np.full((2, hw, hw), 0.05, np.float32)),
+        jnp.asarray(sem), jnp.asarray(pose), jnp.asarray(zeros),
+        jnp.asarray(zeros), jnp.asarray(ones),
+    )
+    d3 = np.asarray(state3.dropped)
+    assert d3[0] == dropped[0] and d3[1] == 0
