@@ -179,6 +179,11 @@ class _SensorSpec:
 class FakeSim:
     """Procedural simulator implementing the Simulator protocol."""
 
+    # steps are microsecond-cheap numpy: the expert follower keeps its
+    # exact simulate-and-restore strategy here (shortest_path.py), while
+    # rendering backends get the zero-extra-step waypoint strategy
+    cheap_simulation = True
+
     def __init__(self, config=None, scene_id: str = "fake_scene"):
         sim_cfg = config
         self.forward_step = (

@@ -162,3 +162,82 @@ def test_dtw_data_recorded_before_acting():
     env.step(1)
     assert env.dtw_data[0]["position"] == [float(x) for x in start_pos]
     assert env.dtw_data[0]["phase"] == "agent"
+
+
+def test_waypoint_follower_reaches_goal_without_extra_sim_steps():
+    """The waypoint strategy (VERDICT r2 item 6) must navigate FakeSim
+    scenes with ZERO follower-issued sim.step calls per action (habitat
+    ShortestPathFollower semantics: steer along pathfinder waypoints),
+    unlike the simulate-and-restore fallback."""
+    sim = FakeSim(scene_id="sceneA")
+    assert sim.cheap_simulation  # auto mode keeps simulate on FakeSim
+    auto = ShortestPathFollower(sim, goal_radius=0.25)
+    assert auto.mode == "simulate"
+
+    start = sim.sample_navigable_point()
+    sim.set_agent_state(start, [0, 0, 0, 1])
+    goal = [start[0] + 3.0, 0.0, start[2]]
+    if not sim.is_navigable(goal):
+        goal = sim.sample_navigable_point()
+
+    follower = ShortestPathFollower(sim, goal_radius=0.25, mode="waypoint")
+    steps = {"n": 0}
+    orig_step = sim.step
+
+    def counting_step(action):
+        steps["n"] += 1
+        return orig_step(action)
+
+    sim.step = counting_step
+    actions_taken = 0
+    for _ in range(300):
+        before = steps["n"]
+        a = follower.get_next_action(goal)
+        assert steps["n"] == before, "waypoint follower stepped the sim"
+        if a == SimActions.STOP:
+            break
+        sim.step(a)
+        actions_taken += 1
+    assert sim.geodesic_distance(sim.get_agent_state().position, goal) <= 0.5
+    assert steps["n"] == actions_taken  # only env-issued steps happened
+
+
+def test_waypoint_and_simulate_followers_agree_on_clear_cases():
+    """Action parity between the two strategies on CLEAR-CUT states
+    (VERDICT r2 item 6 parity check): strongly misaligned -> same turn
+    direction; well aligned toward an open goal -> forward; inside the
+    goal radius -> STOP. Boundary states (misalignment near the
+    turn-angle/2 tolerance) legitimately differ because FakeSim's
+    waypoints are half-cell quantized, so they are excluded — habitat's
+    own follower is waypoint-based (GreedyGeodesicFollower), which the
+    waypoint mode mirrors."""
+    import math as _math
+
+    from ivlnce_tpu.envs.sim_api import quat_from_heading
+
+    sim = FakeSim(scene_id="sceneA")
+    way = ShortestPathFollower(sim, goal_radius=0.25, mode="waypoint")
+    simf = ShortestPathFollower(sim, goal_radius=0.25, mode="simulate")
+
+    origin = np.array([0.0, 0.0, 0.0])
+    # (heading_deg, goal): goal straight ahead of heading 0 is -z
+    cases = [
+        (0, [0.0, 0.0, -2.0]),     # aligned -> forward
+        (90, [0.0, 0.0, -2.0]),    # 90 deg left of goal -> turn right
+        (-90, [0.0, 0.0, -2.0]),   # 90 deg right of goal -> turn left
+        (150, [0.0, 0.0, -2.0]),   # mostly behind, left of goal
+        (90, [-2.0, 0.0, 0.0]),    # aligned at +90 -> forward
+        (0, [0.0, 0.0, 0.1]),      # within goal radius -> STOP
+    ]
+    compared = 0
+    for heading_deg, goal in cases:
+        if not (sim.is_navigable(origin) and sim.is_navigable(goal)):
+            continue
+        q = quat_from_heading(_math.radians(heading_deg))
+        sim.set_agent_state(origin, q)
+        a_w = way.get_next_action(goal)
+        sim.set_agent_state(origin, q)
+        a_s = simf.get_next_action(goal)
+        assert a_w == a_s, (heading_deg, goal, a_w, a_s)
+        compared += 1
+    assert compared >= 5
