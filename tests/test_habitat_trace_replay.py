@@ -1,0 +1,205 @@
+"""Trace-replay validation of the habitat adapter (VERDICT r2 item 9).
+
+data/fixtures/habitat_trace.npz is authored at the habitat-sim API level
+(scripts/make_habitat_trace_fixture.py): raw RGBA/depth-meters/semantic
+frames, agent quaternions with scipy-Rotation orientation goldens (the
+reference's exact call, habitat_extensions/sensors.py:239-250), and
+navmesh-style follower scenarios. Replaying it here pins quaternion and
+sensor-postprocess conventions beyond what the shape-level mock in
+test_habitat_backend.py covers — without scipy or habitat installed.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "data", "fixtures", "habitat_trace.npz")
+
+
+@pytest.fixture(scope="module")
+def trace():
+    assert os.path.exists(FIXTURE), (
+        "run scripts/make_habitat_trace_fixture.py"
+    )
+    return np.load(FIXTURE, allow_pickle=False)
+
+
+# ---------------------------------------------------------------------------
+# orientation conventions vs scipy goldens
+# ---------------------------------------------------------------------------
+def test_orientation_sensor_matches_scipy_rotvec(trace):
+    """The repo's scipy-free rotvec must reproduce scipy
+    Rotation.as_rotvec()[:2] — the reference's (elevation, heading)."""
+    from ivlnce_tpu.tasks.sensors import WorldRobotOrientationSensor
+
+    for q, golden in zip(trace["quats"], trace["golden_elev_heading"]):
+        rv = WorldRobotOrientationSensor.rotvec_from_quat(q)
+        np.testing.assert_allclose(rv[:2], golden, atol=1e-9, err_msg=str(q))
+
+
+def test_heading_from_quat_matches_yaw_rows(trace):
+    """For pure-yaw quaternions the follower's heading equals the
+    rotation-vector y component (habitat heading convention)."""
+    import math
+
+    from ivlnce_tpu.envs.sim_api import heading_from_quat
+
+    for q, golden in zip(trace["quats"], trace["golden_elev_heading"]):
+        if abs(q[0]) > 1e-12 or abs(q[2]) > 1e-12:
+            continue  # composed rotations: heading is sensor-defined
+        h = heading_from_quat(q)
+        wrapped = ((h + math.pi) % (2 * math.pi)) - math.pi
+        assert abs(wrapped - golden[1]) < 1e-9, (q, h, golden)
+
+
+# ---------------------------------------------------------------------------
+# sensor postprocessing through HabitatSimAdapter
+# ---------------------------------------------------------------------------
+def _install_trace_habitat_sim(monkeypatch, trace, frame_idx):
+    """Minimal habitat_sim mock whose sensors replay fixture frames."""
+    ann_rows = json.loads(str(trace["annotations"]))
+
+    class _Cat:
+        def __init__(self, mpcat40, raw):
+            self._m, self._r = mpcat40, raw
+
+        def name(self, mapping="mpcat40"):
+            return self._m if mapping == "mpcat40" else self._r
+
+    class _Obj:
+        def __init__(self, oid, mpcat40, raw):
+            self.id = oid
+            self.category = _Cat(mpcat40, raw)
+
+    sem_scene = types.SimpleNamespace(
+        objects=[_Obj(*row) for row in ann_rows]
+    )
+
+    class _Quat:
+        def __init__(self, x=0.0, y=0.0, z=0.0, w=1.0):
+            self.x, self.y, self.z, self.w = x, y, z, w
+
+    class _AgentState:
+        def __init__(self):
+            self.position = np.zeros(3, np.float32)
+            self.rotation = _Quat()
+            self.sensor_states = {}
+
+    class _Agent:
+        def __init__(self):
+            self._s = _AgentState()
+
+        def get_state(self):
+            return self._s
+
+        def set_state(self, s, reset_sensors=True):
+            self._s = s
+
+    class _Sim:
+        def __init__(self, configuration):
+            self.pathfinder = types.SimpleNamespace()
+            self.semantic_scene = sem_scene
+            self._agent = _Agent()
+
+        def get_agent(self, idx):
+            return self._agent
+
+        def get_sensor_observations(self):
+            return {
+                "rgb": trace["rgba_raw"][frame_idx],
+                "depth": trace["depth_raw"][frame_idx],
+                "semantic": trace["sem_raw"][frame_idx],
+            }
+
+        def step(self, action):
+            return self.get_sensor_observations()
+
+        def close(self):
+            pass
+
+    hsim = types.ModuleType("habitat_sim")
+    hsim.SensorType = types.SimpleNamespace(COLOR=0, DEPTH=1, SEMANTIC=2)
+    hsim.CameraSensorSpec = type("CameraSensorSpec", (), {})
+    hsim.SimulatorConfiguration = type("SimulatorConfiguration", (), {})
+    hsim.Configuration = lambda backend, agents: types.SimpleNamespace(
+        backend=backend, agents=agents
+    )
+    hsim.Simulator = _Sim
+    agent_mod = types.ModuleType("habitat_sim.agent")
+    agent_mod.AgentConfiguration = type("AgentConfiguration", (), {})
+    agent_mod.ActionSpec = lambda name, actuation: None
+    agent_mod.ActuationSpec = lambda amount: None
+    hsim.agent = agent_mod
+    monkeypatch.setitem(sys.modules, "habitat_sim", hsim)
+    monkeypatch.setitem(sys.modules, "habitat_sim.agent", agent_mod)
+
+
+@pytest.mark.parametrize("frame_idx", [0, 1])
+def test_postprocess_matches_goldens(monkeypatch, trace, frame_idx):
+    _install_trace_habitat_sim(monkeypatch, trace, frame_idx)
+    from ivlnce_tpu.config.task_default import get_extended_config
+    from ivlnce_tpu.envs.habitat_backend import HabitatSimAdapter
+
+    cfg = get_extended_config()
+    cfg.defrost()
+    cfg.SIMULATOR.AGENT_0.SENSORS = [
+        "RGB_SENSOR", "DEPTH_SENSOR", "SEMANTIC_SENSOR"
+    ]
+    cfg.freeze()
+    adapter = HabitatSimAdapter(cfg.SIMULATOR, "trace_scene")
+    obs = adapter.reset()
+
+    np.testing.assert_array_equal(obs["rgb"], trace["rgb_expected"][frame_idx])
+    np.testing.assert_allclose(
+        obs["depth"][..., 0], trace["depth_expected"][frame_idx], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        obs["semantic12"][..., 0], trace["sem_expected"][frame_idx]
+    )
+    assert obs["depth"].dtype == np.float32
+    assert obs["rgb"].dtype == np.uint8
+    assert obs["semantic12"].dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# follower steering over navmesh-style waypoint traces
+# ---------------------------------------------------------------------------
+def test_waypoint_follower_matches_trace_actions(trace):
+    from ivlnce_tpu.envs.shortest_path import ShortestPathFollower
+    from ivlnce_tpu.envs.sim_api import AgentState
+
+    cases = json.loads(str(trace["follower_cases"]))
+
+    class _TraceSim:
+        forward_step = 0.25
+        turn_angle_deg = 15.0
+
+        def __init__(self, case):
+            self._case = case
+
+        def get_agent_state(self):
+            return AgentState(
+                position=np.asarray(self._case["pos"], float),
+                rotation=np.asarray(self._case["quat"], float),
+            )
+
+        def geodesic_distance(self, a, b, episode=None):
+            pts = np.asarray(self._case["waypoints"], float)
+            return float(
+                np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1))
+            )
+
+        def get_straight_shortest_path_points(self, a, b):
+            return [list(p) for p in self._case["waypoints"]]
+
+    for i, case in enumerate(cases):
+        sim = _TraceSim(case)
+        follower = ShortestPathFollower(sim, goal_radius=0.25, mode="auto")
+        assert follower.mode == "waypoint"  # rendering backends: no steps
+        action = follower.get_next_action(case["goal"])
+        assert action == case["expected"], (i, case, action)
