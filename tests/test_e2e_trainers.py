@@ -194,3 +194,44 @@ def test_iterative_dagger_tour_bptt_cycle(tmp_path_factory):
         idx = store.get(0)
         assert "tours_to_idxs" in idx
         assert sum(len(v) for v in idx["tours_to_idxs"].values()) >= 3
+
+
+def test_known_maps_eval_preloads_and_writes_stats(trained):
+    """Fourth e2e scenario (VERDICT r2 item 7): known-maps eval drives
+    GTSemanticsKnownMapper through _eval_checkpoint — per-scene npz
+    preloads (reference mapper.py:851-881) populate lanes instead of
+    frame accumulation, and the stats JSON lands."""
+    tmp_path, config, ckpts = trained
+    results = str(tmp_path / "results_known")
+    config = config.clone()
+    config.defrost()
+    config.IL.ckpt_to_load = ckpts[0]
+    config.EVAL_CKPT_PATH_DIR = ckpts[0]
+    config.RESULTS_DIR = results
+    config.EVAL.ITERATIVE_GT_PATHS = "data/datasets/fake/gt_ndtw.json"
+    config.RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS = [
+        "GTSemanticsKnownMapper"
+    ]
+    config.freeze()
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.eval()
+
+    it_stats = glob.glob(
+        os.path.join(results, "iterative_stats_ckpt_*_val_seen.json")
+    )
+    assert it_stats, "known-maps eval wrote no stats JSON"
+    with open(it_stats[0]) as f:
+        stats = json.load(f)
+    assert "tndtw" in stats and np.isfinite(stats["tndtw"]), stats
+
+    # the known mapper actually loaded scene clouds into lanes
+    mapper = trainer.obs_transforms[0]
+    assert mapper.known_maps
+    loaded = [n for n in mapper._loaded_env_names if n is not None]
+    assert loaded, "no lane ever preloaded a known map"
+    from ivlnce_tpu.ops.scatter import EMPTY_KEY
+
+    occupied = int((np.asarray(mapper.state.key) != EMPTY_KEY).sum())
+    assert occupied > 0, "preloaded world grids are empty"
+    # known-map lanes never accumulate frames -> zero dropped telemetry
+    assert mapper.dropped_point_count() == 0
