@@ -142,19 +142,22 @@ class ConfigNode(dict):
             f"Override list has odd length: {opts}; it must be [key, value] "
             "pairs"
         )
+        # defrost unconditionally (recursive): subtrees assigned from an
+        # already-frozen config (get_config's TASK_CONFIG rebuild) stay
+        # frozen even while the root is mutable, and CLI opts must be able
+        # to override nested TASK_CONFIG.* keys (reference run.py:61-66)
+        frozen = self.is_frozen()
+        self.defrost()
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = str(key).split(".")
-            frozen = self.is_frozen()
-            if frozen:
-                self.defrost()
             for p in parts[:-1]:
                 if p not in node:
                     node[p] = ConfigNode()
                 node = node[p]
             node[parts[-1]] = _decode_value(value, node.get(parts[-1]))
-            if frozen:
-                self.freeze()
+        if frozen:
+            self.freeze()
 
     # -- misc -------------------------------------------------------------------
     def to_dict(self) -> Dict:

@@ -140,3 +140,26 @@ def test_lowercase_iterative_map_reset_quirk_preserved():
         "2_eval_iterative.yaml"
     )
     assert config.EVAL.ITERATIVE_MAP_RESET == "iterative"
+
+
+def test_cli_opts_override_nested_task_config_keys():
+    """run.py trailing opts must reach frozen-subtree keys: get_config
+    assigns TASK_CONFIG from an already-frozen task config, so
+    merge_from_list has to defrost recursively (reference run.py:61-66
+    passes opts like TASK_CONFIG.DATASET.DATA_PATH through yacs)."""
+    os.chdir(REPO)
+    config = get_config(
+        "configs/fake/map_cma_eval_iterative.yaml",
+        [
+            "NUM_ENVIRONMENTS",
+            "64",
+            "TASK_CONFIG.DATASET.DATA_PATH",
+            "data/datasets/fake_big/{split}/{split}.json.gz",
+        ],
+    )
+    assert config.NUM_ENVIRONMENTS == 64
+    assert (
+        config.TASK_CONFIG.DATASET.DATA_PATH
+        == "data/datasets/fake_big/{split}/{split}.json.gz"
+    )
+    assert config.is_frozen()
