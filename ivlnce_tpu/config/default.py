@@ -65,6 +65,10 @@ _C.IL.inflection_weight_coef = 3.2
 _C.IL.load_from_ckpt = False
 _C.IL.ckpt_to_load = "data/checkpoints/ckpt.0.pth"
 _C.IL.is_requeue = False
+# trajectory decode worker PROCESSES (the reference DataLoader's
+# num_workers=3, dagger_trainer.py:568-576). 0 = in-process decode behind
+# the prefetch thread — right on few-core hosts; set 2-4 in production
+_C.IL.decode_workers = 0
 
 _C.IL.DAGGER = CN()
 _C.IL.DAGGER.iterations = 10
@@ -179,6 +183,10 @@ _C.TPU.world_grid_cells = 1024
 # would otherwise double-buffer the big grid). Measured working through
 # the axon tunnel backend this round (round 1 rejected it).
 _C.TPU.donate_state = True
+# ship normalized depth to the device as uint16 (expanded inside the act
+# executable; <=7.7e-6 quantization). Halves the largest sensor upload —
+# the live loops are upload-bound on constrained transports (BASELINE.md)
+_C.TPU.wire_depth_uint16 = True
 # orbax checkpointing directory (defaults next to CHECKPOINT_FOLDER)
 _C.TPU.async_checkpointing = False
 # non-empty: capture a jax.profiler trace of the first eval/train steps

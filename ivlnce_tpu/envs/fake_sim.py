@@ -269,6 +269,19 @@ class FakeSim:
             self._heading = (self._heading - self.turn_angle) % (2 * math.pi)
         return self.render_observations()
 
+    def step_without_obs(self, action: int) -> None:
+        """State-only step for simulate-and-restore probing: identical
+        motion/collision semantics to step(), no sensor rendering — the
+        render is ~95% of a FakeSim step and probes discard it
+        (shortest_path.ShortestPathFollower._simulate_cost)."""
+        render, self.render_observations = (
+            self.render_observations, lambda: None
+        )
+        try:
+            self.step(action)
+        finally:
+            self.render_observations = render
+
     def get_agent_state(self) -> AgentState:
         return AgentState(
             position=self._position.copy(),

@@ -148,11 +148,14 @@ class ShortestPathFollower:
         turns = geodesic after turn + one forward, so turning toward a
         better direction scores well)."""
         sim = self._sim
+        # probes only need post-step STATE; skip sensor rendering where
+        # the backend offers it (FakeSim.step_without_obs)
+        probe_step = getattr(sim, "step_without_obs", sim.step)
         saved_state = sim.get_agent_state()
         try:
-            sim.step(action)
+            probe_step(action)
             if action != SimActions.MOVE_FORWARD:
-                sim.step(SimActions.MOVE_FORWARD)
+                probe_step(SimActions.MOVE_FORWARD)
             pos = sim.get_agent_state().position
             d = sim.geodesic_distance(pos, goal_pos)
             # prefer actions that move (penalize collisions slightly)

@@ -122,6 +122,18 @@ class Mapper:
         self.state = None
         self._loaded_env_names = []
 
+    @property
+    def device_obs_keys(self) -> frozenset:
+        """Sensors make_device_step reads — the host->device upload
+        filter (utils/batching.wire_obs_keys) drops everything else.
+        GT semantics reads the semantic12 frame; RedNet prediction reads
+        rgb instead; known maps accumulate nothing (preloads happen in
+        host_prepare via _maybe_load_known_maps)."""
+        keys = {"depth", "world_robot_pose", "world_robot_orientation"}
+        if not self.known_maps:
+            keys.add("rgb" if self.predicted_semantics else "semantic12")
+        return frozenset(keys)
+
     def dropped_point_count(self) -> int:
         """Total depth points lost to the bounded world extent across all
         lanes (mapper.MapperState.dropped). Nonzero means a scene

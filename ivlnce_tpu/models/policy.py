@@ -229,6 +229,14 @@ class _CMAPolicyBase:
 
 @registry.register_policy(name="MapCMAPolicy")
 class MapCMAPolicy(_CMAPolicyBase):
+    # sensors the act executable reads (map_cma_encode: depth +
+    # occupancy/semantic maps + cached instruction features) — the
+    # upload filter (utils/batching.wire_obs_keys) keeps everything else
+    # (rgb!) off the host->device wire. When a mapper transform is
+    # fused, the trainer separately excludes the map keys (the
+    # executable recomputes them on device from carried state).
+    device_obs_keys = frozenset({"depth", "occupancy_map", "semantic_map"})
+
     def net_init(self, key) -> Params:
         return C.init_map_cma(
             key,
@@ -260,6 +268,9 @@ class MapCMAPolicy(_CMAPolicyBase):
 
 @registry.register_policy(name="LatentCMAPolicy")
 class LatentCMAPolicy(_CMAPolicyBase):
+    # latent_cma_encode reads depth + rgb (+ cached instruction features)
+    device_obs_keys = frozenset({"depth", "rgb"})
+
     def net_init(self, key) -> Params:
         return C.init_latent_cma(
             key, self.model_config, self.observation_info["depth_hw"]

@@ -37,7 +37,7 @@ from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
 from ivlnce_tpu.models import cma as cma_mod
 from ivlnce_tpu.models.policy import action_logits
 from ivlnce_tpu.tasks.tour_ndtw import compute_tour_ndtw
-from ivlnce_tpu.utils import logging_util, profiling
+from ivlnce_tpu.utils import batching, logging_util, profiling
 from ivlnce_tpu.utils.batching import (
     batch_obs,
     extract_instruction_tokens,
@@ -335,6 +335,7 @@ class BaseVLNCETrainer:
             sample = self._eval_sample()
             if iterative:
                 def fn(params, obs, rnn, prev, am, sm, tm, act_m, key_data):
+                    obs = batching.decode_wire_obs(obs)
                     rng = jax.random.wrap_key_data(key_data) if sample else None
                     return policy.act_iterative(
                         params, obs, rnn, prev, am, sm, tm, act_m,
@@ -342,6 +343,7 @@ class BaseVLNCETrainer:
                     )
             else:
                 def fn(params, obs, rnn, prev, masks, key_data):
+                    obs = batching.decode_wire_obs(obs)
                     rng = jax.random.wrap_key_data(key_data) if sample else None
                     return policy.act(
                         params, obs, rnn, prev, masks, rng_key=rng,
@@ -365,6 +367,7 @@ class BaseVLNCETrainer:
             if iterative:
                 def fn(params, rednet_params, state, obs, reset_masks,
                        rnn, prev, am, sm, tm, act_m, key_data):
+                    obs = batching.decode_wire_obs(obs)
                     rng = jax.random.wrap_key_data(key_data) if sample else None
                     state, occ, sem = device_step(
                         state, obs, reset_masks, rednet_params
@@ -380,6 +383,7 @@ class BaseVLNCETrainer:
             else:
                 def fn(params, rednet_params, state, obs, reset_masks,
                        rnn, prev, masks, key_data):
+                    obs = batching.decode_wire_obs(obs)
                     rng = jax.random.wrap_key_data(key_data) if sample else None
                     state, occ, sem = device_step(
                         state, obs, reset_masks, rednet_params
@@ -457,11 +461,18 @@ class BaseVLNCETrainer:
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
+        # upload only what the act executable reads, depth as uint16:
+        # the loop is upload-bandwidth-bound on constrained transports
+        wire_keys = batching.wire_obs_keys(self.policy, transform)
         dobs = {
             k: self._expand_rows(v)
             for k, v in _device_batch(batch).items()
-            if transform is None or k not in ("occupancy_map", "semantic_map")
+            if (transform is None or k not in ("occupancy_map", "semantic_map"))
+            and (wire_keys is None or k in wire_keys)
         }
+        dobs = batching.encode_wire_obs(
+            dobs, self.config.TPU.wire_depth_uint16
+        )
         dobs = self._cache_instruction_features(dobs)
         # pad masks with 0: dead rows stay reset and their prev-action
         # embedding indexes the masked slot
@@ -808,22 +819,27 @@ class BaseVLNCETrainer:
         rgb_frames: List[List] = [[] for _ in range(envs.num_envs)]
 
         start_time = time.time()
+        env_steps = 0
         while envs.num_envs > 0 and len(stats_episodes) < episodes_to_eval:
+            env_steps += envs.num_envs
             current_episodes = self._current_episode_info(envs)
 
-            out, batch = self._policy_step(
-                batch, not_done_masks, rnn_states, prev_actions,
-                (not_done_masks,), iterative=False,
-                need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
-            )
+            with profiling.wall_range("policy_step"):
+                out, batch = self._policy_step(
+                    batch, not_done_masks, rnn_states, prev_actions,
+                    (not_done_masks,), iterative=False,
+                    need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
+                )
             rnn_states = out.rnn_states
             actions = np.array(out.actions)  # copy: reset writes in place
             prev_actions = actions
 
             # sims run while the deferred map readback happens on the host
             envs.step_async([int(a[0]) for a in actions])
-            self._materialize_maps(batch)
-            outputs = envs.step_wait()
+            with profiling.wall_range("materialize_maps"):
+                self._materialize_maps(batch)
+            with profiling.wall_range("env_step_wait"):
+                outputs = envs.step_wait()
             observations, _, dones, infos = (list(x) for x in zip(*outputs))
 
             not_done_masks = np.array(
@@ -862,11 +878,16 @@ class BaseVLNCETrainer:
                 }
                 observations[i] = envs.reset_at(i)
                 prev_actions[i] = 0
+                elapsed = time.time() - start_time
                 logger.info(
                     f"[Ckpt: {checkpoint_index}] episodes evaluated: "
                     f"{len(stats_episodes)}/{episodes_to_eval} "
-                    f"({round(time.time() - start_time)}s)"
+                    f"({round(elapsed)}s, "
+                    f"{env_steps / max(elapsed, 1e-6):.1f} env steps/s)"
                 )
+                report = profiling.phase_report()
+                if report:
+                    logger.info(f"phase times: {report}")
                 if len(config.VIDEO_OPTION) > 0:
                     from ivlnce_tpu.utils import viz
 
@@ -885,8 +906,9 @@ class BaseVLNCETrainer:
                     )
                     rgb_frames[i] = []
 
-            observations = extract_instruction_tokens(observations)
-            batch = batch_obs(observations)
+            with profiling.wall_range("batch_obs"):
+                observations = extract_instruction_tokens(observations)
+                batch = batch_obs(observations)
 
             next_episodes = self._current_episode_info(envs)
             envs_to_pause = [
@@ -982,26 +1004,32 @@ class BaseVLNCETrainer:
             )
         start_time = time.time()
 
+        env_steps = 0
         while envs.num_envs > 0:
+            env_steps += envs.num_envs
             current_episodes = self._current_episode_info(envs)
             reset_masks = (
                 agent_masks if map_reset == "episodic" else tour_masks
             )
-            out, batch = self._policy_step(
-                batch, reset_masks, rnn_states, prev_actions,
-                (agent_masks, sim_masks, tour_masks, action_masks),
-                iterative=True,
-                need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
-            )
+            with profiling.wall_range("policy_step"):
+                out, batch = self._policy_step(
+                    batch, reset_masks, rnn_states, prev_actions,
+                    (agent_masks, sim_masks, tour_masks, action_masks),
+                    iterative=True,
+                    need_maps=len(config.VIDEO_OPTION) > 0, defer_maps=True,
+                )
             rnn_states = out.rnn_states
             # np.array (copy): device arrays view as read-only numpy and
             # the reset path below writes prev_actions[i] = 0 in place
-            actions = np.array(out.actions)
+            with profiling.wall_range("action_readback"):
+                actions = np.array(out.actions)
             prev_actions = actions
 
             envs.step_async([int(a[0]) for a in actions])
-            self._materialize_maps(batch)
-            outputs = envs.step_wait()
+            with profiling.wall_range("materialize_maps"):
+                self._materialize_maps(batch)
+            with profiling.wall_range("env_step_wait"):
+                outputs = envs.step_wait()
             (
                 observations, _, agent_dones, sim_dones, tour_dones,
                 produce_actions, infos,
@@ -1057,11 +1085,16 @@ class BaseVLNCETrainer:
                         for k, v in infos[i].items()
                         if isinstance(v, numbers.Number)
                     }
+                    elapsed = time.time() - start_time
                     logger.info(
                         f"[Ckpt: {checkpoint_index}] episodes evaluated: "
                         f"{episodes_evaluated}/{episodes_to_eval} "
-                        f"({round(time.time() - start_time)}s)"
+                        f"({round(elapsed)}s, "
+                        f"{env_steps / max(elapsed, 1e-6):.1f} env steps/s)"
                     )
+                    report = profiling.phase_report()
+                    if report:
+                        logger.info(f"phase times: {report}")
 
                 if not sim_dones[i]:
                     continue
@@ -1090,8 +1123,9 @@ class BaseVLNCETrainer:
                 action_masks[i] = int(produce_action)
                 prev_actions[i] = 0
 
-            observations = extract_instruction_tokens(observations)
-            batch = batch_obs(observations)
+            with profiling.wall_range("batch_obs"):
+                observations = extract_instruction_tokens(observations)
+                batch = batch_obs(observations)
 
             next_episodes = self._current_episode_info(envs)
             envs_to_pause = []

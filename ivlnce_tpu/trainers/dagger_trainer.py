@@ -13,6 +13,7 @@ BPTT update.
 
 from __future__ import annotations
 
+import contextlib
 import random
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -23,7 +24,7 @@ from ivlnce_tpu.envs.vector_env import construct_envs
 from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
 from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer, _device_batch
 from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
-from ivlnce_tpu.utils import logging_util
+from ivlnce_tpu.utils import batching, logging_util
 from ivlnce_tpu.utils.batching import (
     batch_obs,
     extract_instruction_tokens,
@@ -35,12 +36,59 @@ from ivlnce_tpu.utils.tb import TensorboardWriter
 logger = logging_util.logger
 
 
-def _block_shuffle(lst: List, block_size: int) -> List:
+def _block_shuffle(lst: List, block_size: int, rng=None) -> List:
     blocks = [
         lst[i:i + block_size] for i in range(0, len(lst), block_size)
     ]
-    random.shuffle(blocks)
+    (rng or random).shuffle(blocks)
     return [ele for block in blocks for ele in block]
+
+
+# per-process store handle for the decode workers (one open per worker
+# process, reused across its windows)
+_worker_store_cache: Dict[str, "TrajectoryStore"] = {}
+
+
+def _decode_window(task) -> List[Tuple]:
+    """Decode + collate one preload window in a worker process
+    (utils/prefetch.ProcessWindowIterator). Mirrors the in-process path:
+    length-sort with a seeded tiebreak shuffle, batch-block shuffle, then
+    collate consecutive batch_size samples (drop_last inside the window —
+    windows are batch_size-divisible except the epoch tail, identical to
+    the serial path's end-of-epoch drop)."""
+    store_path, keys, seed, batch_size, inflec_weights = task
+    store = _worker_store_cache.get(store_path)
+    if store is None:
+        store = TrajectoryStore(store_path)
+        _worker_store_cache[store_path] = store
+    rng = random.Random(seed)
+
+    raw = [store.get(k) for k in keys]
+    lengths = [len(r[1]) for r in raw]
+    sort_priority = list(range(len(lengths)))
+    rng.shuffle(sort_priority)
+    sorted_ordering = sorted(
+        range(len(lengths)), key=lambda k: (lengths[k], sort_priority[k])
+    )
+    order = _block_shuffle(sorted_ordering, batch_size, rng=rng)
+
+    weights = np.asarray(inflec_weights)
+    samples = []
+    for idx in order:
+        obs, prev_actions, oracle_actions = raw[idx]
+        obs = {k: np.asarray(v) for k, v in obs.items()}
+        prev_actions = np.asarray(prev_actions)
+        oracle_actions = np.asarray(oracle_actions)
+        inflections = np.concatenate(
+            [[1], (oracle_actions[1:] != oracle_actions[:-1]).astype(np.int64)]
+        )
+        samples.append(
+            (obs, prev_actions, oracle_actions, weights[inflections])
+        )
+    return [
+        collate_fn(samples[i:i + batch_size])
+        for i in range(0, len(samples) - batch_size + 1, batch_size)
+    ]
 
 
 def _pad_to(arr: np.ndarray, max_len: int, fill_val=0) -> np.ndarray:
@@ -185,6 +233,40 @@ class IWTrajectoryDataset:
             except StopIteration:
                 return
             yield collate_fn(samples)
+
+    def batches_parallel(self, workers: int, depth: int = 4):
+        """Collated batches with store read + msgpack decode + collate
+        running in ``workers`` processes (the reference's DataLoader
+        num_workers equivalent, dagger_trainer.py:568-576). Window
+        ordering matches batches(); within a window the decode worker
+        applies the same length-sort/block-shuffle with a seeded rng.
+        Returns a context-manager iterator (close() terminates workers)."""
+        from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
+
+        ordering = list(
+            reversed(
+                _block_shuffle(
+                    list(range(self.start, self.length)), self.preload_size
+                )
+            )
+        )
+        windows = [
+            ordering[i:i + self.preload_size]
+            for i in range(0, len(ordering), self.preload_size)
+        ]
+        tasks = [
+            (
+                self.store_path,
+                w,
+                random.randrange(2**31),
+                self.batch_size,
+                tuple(self.inflec_weights),
+            )
+            for w in windows
+        ]
+        return ProcessWindowIterator(
+            _decode_window, tasks, workers=workers, depth=depth
+        )
 
 
 @registry.register_trainer(name="dagger")
@@ -437,6 +519,7 @@ class DaggerTrainer(BaseVLNCETrainer):
 
             if transform is None:
                 def fn(params, obs, rnn, prev, masks, rng):
+                    obs = batching.decode_wire_obs(obs)
                     feats = encode_feats(params, obs)
                     pobs = {**obs, **feats}
                     out = act(params, pobs, rnn, prev, masks, rng)
@@ -444,6 +527,7 @@ class DaggerTrainer(BaseVLNCETrainer):
             else:
                 def fn(params, rednet_params, state, obs, reset_masks,
                        rnn, prev, masks, rng):
+                    obs = batching.decode_wire_obs(obs)
                     feats = encode_feats(params, obs)
                     state, occ, sem = device_step(
                         state, obs, reset_masks, rednet_params
@@ -475,11 +559,16 @@ class DaggerTrainer(BaseVLNCETrainer):
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
+        wire_keys = batching.wire_obs_keys(self.policy, transform)
         dobs = {
             k: self._expand_rows(v)
             for k, v in _device_batch(batch).items()
-            if transform is None or k not in ("occupancy_map", "semantic_map")
+            if (transform is None or k not in ("occupancy_map", "semantic_map"))
+            and (wire_keys is None or k in wire_keys)
         }
+        dobs = batching.encode_wire_obs(
+            dobs, self.config.TPU.wire_depth_uint16
+        )
         dobs = self._cache_instruction_features(dobs)
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
@@ -584,8 +673,21 @@ class DaggerTrainer(BaseVLNCETrainer):
                     # decode/collate the next batches while the device
                     # runs the current update (reference: DataLoader
                     # workers, dagger_trainer.py:568-576); the with
-                    # block stops the producer thread on early exits
-                    with prefetch(dataset.batches(), depth=3) as batches:
+                    # block stops the producer thread on early exits.
+                    # IL.decode_workers > 0 moves decode into worker
+                    # PROCESSES (GIL-free at production scale)
+                    workers = config.IL.decode_workers
+                    with contextlib.ExitStack() as stack:
+                        source = (
+                            stack.enter_context(
+                                dataset.batches_parallel(workers)
+                            )
+                            if workers > 0
+                            else dataset.batches()
+                        )
+                        batches = stack.enter_context(
+                            prefetch(source, depth=3)
+                        )
                         for batch in batches:
                             (
                                 observations, prev_actions, not_done_masks,

@@ -71,3 +71,61 @@ def add_batched_data_to_observations(
         for i in range(len(observations)):
             observations[i][key] = np.asarray(batched_data[i])
     return observations
+
+
+# -- wire format for the host->device sensor upload ---------------------------
+# The live-act loops are upload-bandwidth-bound on constrained transports
+# (BASELINE.md: ~11 MB/s through the axon tunnel; a B=64 step uploads
+# ~31 MB raw). Two reductions, both lossless for the task:
+#   * only keys the act executable actually reads cross the wire
+#     (policy.device_obs_keys | transform.device_obs_keys — e.g. MapCMA
+#     with GT semantics never reads rgb: 9.6 MB/step at B=64);
+#   * normalized [0,1] float32 depth travels as uint16 and is expanded
+#     on device (<= 7.7e-6 quantization = 0.08 mm at the 10 m depth
+#     range, vs the mapper's 0.05 m voxels).
+
+DEPTH_WIRE_SCALE = 65535.0
+
+
+def encode_wire_obs(dobs: Dict[str, Any], depth_uint16: bool = True) -> Dict:
+    """HOST side: shrink arrays before they cross into jit args."""
+    if not depth_uint16:
+        return dobs
+    d = dobs.get("depth")
+    if d is not None and getattr(d, "dtype", None) == np.float32:
+        dobs = dict(dobs)
+        dobs["depth"] = (
+            np.clip(d, 0.0, 1.0) * DEPTH_WIRE_SCALE + 0.5
+        ).astype(np.uint16)
+    return dobs
+
+
+def decode_wire_obs(obs: Dict[str, Any]) -> Dict:
+    """DEVICE side (inside jit): expand wire dtypes back. Must mirror
+    encode_wire_obs; a float32 depth passes through untouched so callers
+    that never encode (tests, direct policy use) are unaffected."""
+    import jax.numpy as jnp
+
+    d = obs.get("depth")
+    if d is not None and d.dtype == jnp.uint16:
+        obs = dict(obs)
+        obs["depth"] = d.astype(jnp.float32) * (1.0 / DEPTH_WIRE_SCALE)
+    return obs
+
+
+def wire_obs_keys(policy, transform) -> Optional[Set[str]]:
+    """Union of the obs keys the fused act executable reads, or None when
+    either side can't declare its needs (None = upload everything).
+    Instruction keys always pass: the per-episode cache consumes and
+    strips them (base_trainer._cache_instruction_features)."""
+    pk = getattr(policy, "device_obs_keys", None)
+    if pk is None:
+        return None
+    keys = set(pk)
+    if transform is not None:
+        tk = getattr(transform, "device_obs_keys", None)
+        if tk is None:
+            return None
+        keys |= set(tk)
+    keys |= {"instruction", "rxr_instruction"}
+    return keys

@@ -93,3 +93,98 @@ class PrefetchIterator:
 def prefetch(iterable: Iterable[T], depth: int = 3) -> Iterator[T]:
     """Background-prefetch ``iterable`` with a queue of ``depth``."""
     return PrefetchIterator(iterable, depth=depth)
+
+
+# -- multi-process decode ------------------------------------------------------
+# The thread producer above hides store READ latency, but msgpack decode
+# and collate padding are pure-python enough to contend for the GIL at
+# production scale; the reference parallelizes them across 3-4 DataLoader
+# worker PROCESSES (dagger_trainer.py:568-576). process_windows is the
+# equivalent: tasks (decode windows) are statically sharded worker w <-
+# tasks[w::workers], each worker streams its task's items into a bounded
+# queue, and the parent reads queues in task round-robin — so the global
+# item order is DETERMINISTIC (identical to processing tasks in order),
+# unlike a single shared queue.
+
+def _window_worker(fn, tasks, wid, num_workers, q):
+    try:
+        for ti in range(wid, len(tasks), num_workers):
+            for item in fn(tasks[ti]):
+                q.put(("item", ti, item))
+            q.put(("end", ti, None))
+        q.put(("done", None, None))
+    except BaseException as e:  # surface in the parent
+        try:
+            q.put(("error", None, e))
+        except Exception:
+            q.put(("error", None, RuntimeError(repr(e))))
+
+
+class ProcessWindowIterator:
+    """Yield fn(task) items for every task, flattened in task order, with
+    fn evaluated across ``workers`` processes. fn and tasks must be
+    picklable (fn a module-level callable)."""
+
+    def __init__(self, fn, tasks, workers: int = 2, depth: int = 4):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("forkserver")
+        self._tasks = list(tasks)
+        self._n = max(1, min(workers, len(self._tasks)))
+        self._qs = [ctx.Queue(maxsize=max(1, depth)) for _ in range(self._n)]
+        self._procs = [
+            ctx.Process(
+                target=_window_worker,
+                args=(fn, self._tasks, w, self._n, self._qs[w]),
+                daemon=True,
+            )
+            for w in range(self._n)
+        ]
+        for p in self._procs:
+            p.start()
+        self._ti = 0
+        self._closed = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            if self._ti >= len(self._tasks):
+                self.close()
+                raise StopIteration
+            kind, ti, item = self._qs[self._ti % self._n].get()
+            if kind == "error":
+                self.close()
+                raise item
+            if kind == "end":
+                assert ti == self._ti, (ti, self._ti)
+                self._ti += 1
+                continue
+            if kind == "done":
+                self.close()
+                raise StopIteration
+            return item
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+        for q in self._qs:
+            q.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

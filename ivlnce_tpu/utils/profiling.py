@@ -58,3 +58,46 @@ def maybe_stop_trace() -> None:
 
         jax.profiler.stop_trace()
         _active = False
+
+
+# -- wall-clock phase accounting ---------------------------------------------
+# The axon/tunnel dispatch path makes device work invisible to host
+# profilers and XLA traces can't see host python, so the eval/collect
+# loops accumulate coarse per-phase wall times here. Enabled by the
+# IVLNCE_PHASE_TIMES env var (always cheap: two perf_counter calls when
+# disabled it is a no-op context).
+import time as _time
+
+_phase_times: dict = {}
+_phase_counts: dict = {}
+_PHASES_ON = bool(os.environ.get("IVLNCE_PHASE_TIMES"))
+
+
+@contextlib.contextmanager
+def wall_range(name: str):
+    if not _PHASES_ON:
+        yield
+        return
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = _time.perf_counter() - t0
+        _phase_times[name] = _phase_times.get(name, 0.0) + dt
+        _phase_counts[name] = _phase_counts.get(name, 0) + 1
+
+
+def phase_report() -> str:
+    if not _phase_times:
+        return ""
+    total = sum(_phase_times.values())
+    parts = [
+        f"{k}={v:.1f}s/{_phase_counts[k]} ({100 * v / total:.0f}%)"
+        for k, v in sorted(_phase_times.items(), key=lambda kv: -kv[1])
+    ]
+    return " ".join(parts)
+
+
+def reset_phases() -> None:
+    _phase_times.clear()
+    _phase_counts.clear()

@@ -241,3 +241,25 @@ def test_waypoint_and_simulate_followers_agree_on_clear_cases():
         assert a_w == a_s, (heading_deg, goal, a_w, a_s)
         compared += 1
     assert compared >= 5
+
+
+def test_step_without_obs_matches_step_state():
+    """Render-free probe stepping (FakeSim.step_without_obs) must leave
+    identical agent state and collision flag to step() — the follower's
+    simulate-and-restore probes rely on it."""
+    sim_a = FakeSim(scene_id="sceneA")
+    sim_b = FakeSim(scene_id="sceneA")
+    start = sim_a.sample_navigable_point()
+    for sim in (sim_a, sim_b):
+        sim.set_agent_state(start, [0, 0, 0, 1])
+    rng = np.random.default_rng(3)
+    for action in rng.integers(1, 4, size=40):
+        obs = sim_a.step(int(action))
+        ret = sim_b.step_without_obs(int(action))
+        assert obs is not None and ret is None
+        sa, sb = sim_a.get_agent_state(), sim_b.get_agent_state()
+        np.testing.assert_allclose(sa.position, sb.position)
+        np.testing.assert_allclose(sa.rotation, sb.rotation)
+        assert sim_a.previous_step_collided == sim_b.previous_step_collided
+    # rendering still works after probes
+    assert "depth" in sim_b.render_observations()

@@ -108,3 +108,72 @@ def test_prefetch_abandoned_consumer_releases_producer():
     while threading.active_count() > started and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= started
+
+
+# -- multi-process decode (ProcessWindowIterator + batches_parallel) ---------
+def _square_range(task):
+    lo, hi = task
+    return [i * i for i in range(lo, hi)]
+
+
+def _boom(task):
+    if task == 2:
+        raise ValueError("boom")
+    return [task]
+
+
+def test_process_windows_ordered_across_workers():
+    from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
+
+    tasks = [(i * 3, i * 3 + 3) for i in range(5)]
+    with ProcessWindowIterator(_square_range, tasks, workers=2) as it:
+        got = list(it)
+    assert got == [i * i for i in range(15)]  # flattened, task order
+
+
+def test_process_windows_propagates_worker_errors():
+    import pytest
+
+    from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
+
+    with ProcessWindowIterator(_boom, [0, 1, 2, 3], workers=2) as it:
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+
+def test_dataset_parallel_batches_match_serial_coverage(tmp_path):
+    """batches_parallel must deliver the same epoch: same batch count,
+    same padded shapes discipline, and the same multiset of oracle-action
+    trajectories as the serial path (ordering may differ — the reference
+    DataLoader's worker sharding has the same property)."""
+    import numpy as np
+
+    from ivlnce_tpu.trainers.dagger_trainer import IWTrajectoryDataset
+    from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
+
+    path = str(tmp_path / "traj.lmdb")
+    rng = np.random.default_rng(0)
+    with TrajectoryStore(path, writable=True) as store:
+        for i in range(12):
+            t = int(rng.integers(3, 9))
+            obs = {"depth_features": rng.normal(size=(t, 4)).astype(np.float32)}
+            prev = rng.integers(0, 4, size=(t,)).astype(np.int64)
+            oracle = np.full((t,), i, np.int64)  # traceable per-episode tag
+            store.put(i, (obs, prev, oracle))
+        store.sync()
+
+    def signature(batches):
+        sigs = []
+        n = 0
+        for obs, prev, masks, corrected, weights in batches:
+            n += 1
+            b = prev.shape[0] if prev.ndim == 2 else 2
+            # corrected is T-major flattened; recover per-sample tags
+            sigs.extend(sorted(np.unique(corrected).tolist()))
+        return n, sorted(sigs)
+
+    ds = IWTrajectoryDataset(path, use_iw=True, batch_size=2)
+    serial = signature(ds.batches())
+    with ds.batches_parallel(workers=2) as it:
+        par = signature(it)
+    assert par == serial
