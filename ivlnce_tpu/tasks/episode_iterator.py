@@ -56,9 +56,25 @@ class EpisodeIterator:
 
 
 class TourBasedEpisodeIterator:
-    """Orders episodes tour-by-tour (reference episode_iterator.py:11-101):
-    optionally shuffles the tour order and episodes within tours, or sorts
-    each tour by a fixed ordering from the tours file; cycles."""
+    """Cycles episodes grouped into contiguous tours.
+
+    Behavioral spec (reference habitat_extensions/episode_iterator.py:11-101,
+    re-verified by the oracle in tests/test_episode_iterator.py):
+
+    * episodes are grouped by ``int(tour_id)``; the base tour order is
+      ascending tour id;
+    * ``shuffle_tours`` permutes whole tours, ``shuffle_episodes`` permutes
+      within each tour — the RNG draw sequence matches the reference's, so
+      seeded runs reproduce its episode order exactly;
+    * ``specify_episode_order`` pins each tour to the ordering recorded in
+      the tours file (``episode_order[scene] = [[episode_id, ...], ...]``),
+      overriding any within-tour shuffle (whose draws are still consumed);
+    * exhausting the sequence reshuffles (``cycle``) or stops.
+
+    Unlike the reference this resolves the tours-file ordering into one
+    rank index up front (not per cycle) and rejects tours whose members
+    span different ordered tour lists instead of crashing on a KeyError.
+    """
 
     def __init__(
         self,
@@ -71,76 +87,80 @@ class TourBasedEpisodeIterator:
         episode_order: Optional[Dict[str, List[List[str]]]] = None,
         **kwargs,
     ):
+        if seed is not None:
+            random.seed(seed)
         self._cycle = cycle
         self._shuffle_tours = shuffle_tours
         self._shuffle_episodes = shuffle_episodes
-        self._specify_episode_order = specify_episode_order
-        self._episode_order = episode_order
+        # (scene, episode_id) -> (index of the ordered tour within the
+        # scene, position within that tour); None disables pinning
+        self._rank: Optional[Dict] = (
+            self._resolve_rank_index(episode_order)
+            if specify_episode_order
+            else None
+        )
 
-        if seed is not None:
-            random.seed(seed)
+        self.episodes: List = self._arrange(list(episodes))
+        self._cursor = 0
+        self.tour_id_to_tour_size: Dict = defaultdict(int)
+        for e in self.episodes:
+            self.tour_id_to_tour_size[e.tour_id] += 1
 
-        self.episodes = self._init_iterator(episodes)
-        self._iterator = iter(self.episodes)
-        self.tour_id_to_tour_size = self._compute_tour_sizes()
-
+    # -- iteration ------------------------------------------------------------
     def __iter__(self):
         return self
 
     def __next__(self):
-        nxt = next(self._iterator, None)
-        if nxt is None:
+        if self._cursor >= len(self.episodes):
             if not self._cycle:
                 raise StopIteration
-            self.episodes = self._init_iterator(self.episodes)
-            self._iterator = iter(self.episodes)
-            nxt = next(self._iterator)
-        return nxt
+            self.episodes = self._arrange(self.episodes)
+            self._cursor = 0
+        ep = self.episodes[self._cursor]
+        self._cursor += 1
+        return ep
 
-    def _init_iterator(self, episodes: Sequence) -> List:
-        sparse_tours = [
-            [] for _ in range(1 + max(int(e.tour_id) for e in episodes))
-        ]
+    # -- ordering -------------------------------------------------------------
+    def _arrange(self, episodes: Sequence) -> List:
+        groups: Dict[int, List] = defaultdict(list)
         for e in episodes:
-            sparse_tours[int(e.tour_id)].append(e)
-        tours = [t for t in sparse_tours if len(t)]
+            groups[int(e.tour_id)].append(e)
+        tour_ids = sorted(groups)
 
+        # same RNG consumption as the reference: one shuffle over the
+        # tour sequence, then one per tour in the (possibly shuffled)
+        # tour order
         if self._shuffle_tours:
-            random.shuffle(tours)
-        if self._shuffle_episodes:
-            for t in tours:
-                random.shuffle(t)
-        if self._specify_episode_order:
-            tours = [
-                self._order_tour_episodes(t, self._episode_order)
-                for t in tours
-            ]
-        return [e for t in tours for e in t]
+            random.shuffle(tour_ids)
+        for tid in tour_ids:
+            tour = groups[tid]
+            if self._shuffle_episodes:
+                random.shuffle(tour)
+            if self._rank is not None:
+                tour.sort(key=self._pinned_rank)
+                whence = {self._pinned_rank(e)[0] for e in tour}
+                assert len(whence) == 1, (
+                    f"tour {tid} spans {len(whence)} ordered tours in the "
+                    "tours file; its episodes cannot be totally ordered"
+                )
+        return [e for tid in tour_ids for e in groups[tid]]
 
-    def _order_tour_episodes(self, tour, episode_order):
-        ep_id = tour[0].episode_id
-        scene = scene_from_scene_path(tour[0].scene_id)
-        for ordered_t in episode_order[scene]:
-            if ep_id in ordered_t:
-                break
-        else:
+    def _resolve_rank_index(self, episode_order: Dict) -> Dict:
+        rank = {}
+        for scene, ordered_tours in episode_order.items():
+            for ti, ordered in enumerate(ordered_tours):
+                for pos, eid in enumerate(ordered):
+                    rank[(scene, eid)] = (ti, pos)
+        return rank
+
+    def _pinned_rank(self, episode):
+        key = (scene_from_scene_path(episode.scene_id), episode.episode_id)
+        if key not in self._rank:
             raise AssertionError(
-                f"episode ID {ep_id} not found in provided order."
+                f"episode ID {episode.episode_id} not found in provided "
+                "order."
             )
-        eid_to_idx = {eid: i for i, eid in enumerate(ordered_t)}
-        return [
-            e
-            for _, e in sorted(
-                ((eid_to_idx[e.episode_id], e) for e in tour),
-                key=lambda pair: pair[0],
-            )
-        ]
-
-    def _compute_tour_sizes(self):
-        sizes = defaultdict(int)
-        for e in self.episodes:
-            sizes[e.tour_id] += 1
-        return sizes
+        return self._rank[key]
 
     def num_episodes_in_tour(self, tour_id: str) -> int:
         return self.tour_id_to_tour_size[tour_id]
