@@ -176,6 +176,11 @@ _C.TPU.compute_dtype = "float32"
 _C.TPU.data_parallel_devices = -1
 # world voxel grid per lane: cells at half map resolution (power of two)
 _C.TPU.world_grid_cells = 1024
+# mapper compact-list capacity (entries/lane); 0 = auto (2x the depth
+# frame, the safe default). Smaller values shrink the per-step sort
+# volume (the fused step's dominant cost) but flush to the dense grid
+# more often; values below one frame are rejected (mapper.validate)
+_C.TPU.mapper_list_capacity = 0
 # use the Pallas scatter kernel in the mapper accumulate path (falls back
 # to the XLA scatter path when Mosaic cannot lower it, e.g. interpret-only)
 # donate step-state buffers (mapper world grid, RNN carry) to jit for

@@ -60,11 +60,19 @@ class Mapper:
         maps_location: Optional[str] = None,
         known_map_max_points: int = 2 ** 18,
         compute_dtype: str = "float32",
+        list_capacity: int = 0,
     ):
         self.compute_dtype = (
             jnp.bfloat16 if compute_dtype == "bfloat16" else None
         )
         h, w = camera_parameters.features_spatial_dimensions
+        if list_capacity <= 0:
+            # auto: 2x frame headroom — flushes fire only after a full
+            # frame of NEW unique cells accumulated (mapper.MapperParams).
+            # Smaller capacities shrink the per-step merge/rasterize sorts
+            # (the hot-path cost) at the price of more frequent flushes;
+            # MapperParams.validate() rejects anything below one frame.
+            list_capacity = max(2 * h * w, 8192)
         self.params = MapperParams(
             camera=camera_parameters,
             map_height_meters=map_dimensions.height_meters,
@@ -72,9 +80,7 @@ class Mapper:
             resolution_meters=map_dimensions.resolution_meters,
             grid_cells=grid_cells,
             window_cells=window_cells,
-            # 2x frame headroom: flushes fire only after a full frame of
-            # NEW unique cells accumulated (mapper.MapperParams)
-            list_capacity=max(2 * h * w, 8192),
+            list_capacity=list_capacity,
         )
         self.state: Optional[MapperState] = None
         self.rednet_params = rednet_params
@@ -384,6 +390,7 @@ class Mapper:
             grid_cells=config.TPU.world_grid_cells,
             rednet_params=rednet_params,
             compute_dtype=config.TPU.compute_dtype,
+            list_capacity=config.TPU.mapper_list_capacity,
             **kwargs,
         )
 
