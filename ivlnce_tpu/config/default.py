@@ -172,7 +172,9 @@ _C.MODEL.PROGRESS_MONITOR.alpha = 1.0
 _C.TPU = CN()
 # dtype for the policy compute path: "float32" (parity) or "bfloat16" (speed)
 _C.TPU.compute_dtype = "float32"
-# device mesh axes for data parallel training: -1 = all local devices
+# data-parallel IL update (parallel/train.sharded_train_step): 1 = off,
+# N = shard batch lanes over up to N devices, -1 = all local devices.
+# Auto-falls back to single-device when lanes don't divide evenly.
 _C.TPU.data_parallel_devices = -1
 # world voxel grid per lane: cells at half map resolution (power of two)
 _C.TPU.world_grid_cells = 1024

@@ -31,6 +31,7 @@ def sharded_train_step(
     opt_state,
     use_progress: bool = True,
     alpha: float = 1.0,
+    update_map_bn: bool = False,
 ):
     """Return a jitted train step with explicit mesh shardings.
 
@@ -39,7 +40,9 @@ def sharded_train_step(
     masks/corrected/weights are (T, N) and observations are flattened
     (T*N, ...).
     """
-    step = make_train_step(policy, optimizer, use_progress, alpha)
+    step = make_train_step(
+        policy, optimizer, use_progress, alpha, update_map_bn=update_map_bn
+    )
 
     p_sh = param_shardings(params, mesh)
     o_sh = param_shardings(opt_state, mesh)

@@ -591,20 +591,61 @@ class BaseVLNCETrainer:
         batch["occupancy_map"] = occ_np[rows]
         batch["semantic_map"] = sem_np[rows]
 
-    def _train_step_fn(self):
+    def _data_parallel_devices(self, n_lanes: int) -> int:
+        """Data-axis size for the IL update: TPU.data_parallel_devices
+        (1 = off, N = use up to N devices, -1 = all available), capped by
+        the devices present and required to divide the lane count so the
+        batch shards evenly (uneven lanes fall back to single-device with
+        a warning rather than erroring mid-train)."""
+        want = self.config.TPU.data_parallel_devices
+        if want in (0, 1):
+            return 1
+        avail = jax.device_count()
+        n = avail if want < 0 else min(want, avail)
+        if n > 1 and n_lanes % n != 0:
+            logger.warning(
+                f"data-parallel train step disabled: batch lanes "
+                f"({n_lanes}) not divisible by device count ({n})"
+            )
+            return 1
+        return n
+
+    def _train_step_fn(self, n_lanes: int):
         if "train_step" not in self._jit_cache:
-            self._jit_cache["train_step"] = jax.jit(
-                make_train_step(
+            update_map_bn = (
+                self.config.MODEL.policy_name == "MapCMAPolicy"
+                and self.config.MODEL.SEMANTIC_MAP_ENCODER.trainable
+            )
+            ndp = self._data_parallel_devices(n_lanes)
+            if ndp > 1:
+                from ivlnce_tpu.parallel import make_mesh
+                from ivlnce_tpu.parallel.train import sharded_train_step
+
+                mesh = make_mesh(ndp)
+                logger.info(
+                    f"IL update: data-parallel over {ndp} devices "
+                    f"(mesh {dict(mesh.shape)})"
+                )
+                self._jit_cache["train_step"] = sharded_train_step(
                     self.policy,
                     self.optimizer,
-                    self.config.MODEL.PROGRESS_MONITOR.use,
-                    self.config.MODEL.PROGRESS_MONITOR.alpha,
-                    update_map_bn=(
-                        self.config.MODEL.policy_name == "MapCMAPolicy"
-                        and self.config.MODEL.SEMANTIC_MAP_ENCODER.trainable
-                    ),
+                    mesh,
+                    self.params,
+                    self.opt_state,
+                    use_progress=self.config.MODEL.PROGRESS_MONITOR.use,
+                    alpha=self.config.MODEL.PROGRESS_MONITOR.alpha,
+                    update_map_bn=update_map_bn,
                 )
-            )
+            else:
+                self._jit_cache["train_step"] = jax.jit(
+                    make_train_step(
+                        self.policy,
+                        self.optimizer,
+                        self.config.MODEL.PROGRESS_MONITOR.use,
+                        self.config.MODEL.PROGRESS_MONITOR.alpha,
+                        update_map_bn=update_map_bn,
+                    )
+                )
         return self._jit_cache["train_step"]
 
     def _update_agent(
@@ -625,7 +666,7 @@ class BaseVLNCETrainer:
             rnn_states = self.policy.initial_rnn_states(n)
         if tour_not_done_masks is None:
             tour_not_done_masks = not_done_masks
-        step = self._train_step_fn()
+        step = self._train_step_fn(n)
         with profiling.range_context("train_step"):
             (
                 self.params, self.opt_state, loss, action_loss, aux_loss,

@@ -66,3 +66,87 @@ def test_sharded_train_step_parity_and_fused_act():
 
     assert len(jax.devices()) >= 8  # conftest forces the virtual platform
     g.dryrun_multichip(8)
+
+
+def test_trainer_picks_sharded_update_and_matches_single_device(tmp_path):
+    """TPU.data_parallel_devices routes BaseVLNCETrainer._update_agent
+    through parallel.sharded_train_step; the resulting loss must match
+    the single-device update bit-for-bit-ish (<= 1e-4 rel)."""
+    import optax
+
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.models.policy import MapCMAPolicy
+    from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
+
+    T, N, DHW, MHW = 2, 4, 64, 64
+    base = get_config().clone()
+    base.defrost()
+    base.MODEL.policy_name = "MapCMAPolicy"
+    base.MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    base.MODEL.INSTRUCTION_ENCODER.vocab_size = 32
+    base.MODEL.PROGRESS_MONITOR.use = False
+    base.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = DHW
+    base.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = DHW
+    base.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    base.RESULTS_DIR = str(tmp_path / "results")
+    base.EVAL.SAVE_RESULTS = False
+
+    policy = MapCMAPolicy.from_config(base, {"depth_hw": DHW, "map_hw": MHW})
+    init = policy.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    tn = T * N
+    obs = {
+        "depth": rng.random((tn, DHW, DHW, 1), np.float32) * 0.5 + 0.05,
+        "occupancy_map": rng.integers(0, 2, (tn, MHW, MHW)).astype(np.uint8),
+        "semantic_map": rng.integers(0, 13, (tn, MHW, MHW)).astype(np.uint8),
+        "instruction": rng.integers(1, 30, (tn, 12)).astype(np.int32),
+    }
+    prev = rng.integers(0, 4, (tn, 1)).astype(np.int32)
+    masks = np.ones((T, N), np.float32)
+    corrected = rng.integers(0, 4, (T, N)).astype(np.int32)
+    weights = np.ones((T, N), np.float32)
+
+    losses = {}
+    for ndp in (1, 4):
+        cfg = base.clone()
+        cfg.defrost()
+        cfg.TPU.data_parallel_devices = ndp
+        cfg.freeze()
+        tr = BaseVLNCETrainer(cfg)
+        tr.policy = policy
+        tr.params = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, init)
+        )
+        tr.optimizer = optax.adam(1e-3)
+        tr.opt_state = jax.jit(tr.optimizer.init)(tr.params)
+        loss, action_loss, aux_loss, _ = tr._update_agent(
+            obs, prev, masks, corrected, weights
+        )
+        assert np.isfinite(loss)
+        losses[ndp] = loss
+        if ndp == 4:  # the sharded path really ran over the mesh
+            n_dev = len(
+                jax.tree_util.tree_leaves(tr.params)[0].sharding.device_set
+            )
+            assert n_dev == 4
+    assert abs(losses[4] - losses[1]) <= 1e-4 * max(1.0, abs(losses[1]))
+
+
+def test_trainer_dp_falls_back_on_indivisible_lanes(tmp_path):
+    """Lanes not divisible by the device count must fall back to the
+    single-device step (a warning, not an error)."""
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
+
+    cfg = get_config().clone()
+    cfg.defrost()
+    cfg.TPU.data_parallel_devices = 8
+    cfg.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    cfg.RESULTS_DIR = str(tmp_path / "results")
+    cfg.EVAL.SAVE_RESULTS = False
+    cfg.freeze()
+    tr = BaseVLNCETrainer(cfg)
+    assert tr._data_parallel_devices(3) == 1  # 3 % 8 != 0
+    assert tr._data_parallel_devices(8) == 8
+    assert tr._data_parallel_devices(16) == 8
