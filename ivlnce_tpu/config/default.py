@@ -183,6 +183,9 @@ _C.TPU.world_grid_cells = 1024
 # volume (the fused step's dominant cost) but flush to the dense grid
 # more often; values below one frame are rejected (mapper.validate)
 _C.TPU.mapper_list_capacity = 0
+# winner-compaction implementation in the mapper's merge/rasterize hot
+# path: "sort" or "scatter" (identical results; see ops/scatter.py)
+_C.TPU.mapper_compact = "sort"
 # use the Pallas scatter kernel in the mapper accumulate path (falls back
 # to the XLA scatter path when Mosaic cannot lower it, e.g. interpret-only)
 # donate step-state buffers (mapper world grid, RNN carry) to jit for

@@ -88,6 +88,10 @@ class MapperParams(NamedTuple):
     # frame_points + headroom. 2x the frame is the sweet spot: flushes
     # fire only when a full frame of NEW unique cells accumulated.
     list_capacity: int = 131072
+    # winner-compaction implementation in the merge/rasterize sorts:
+    # "sort" (re-sort) or "scatter" (cumsum + scatter-set) — identical
+    # semantics (ops/scatter tests), different hardware cost profile
+    compact: str = "sort"
 
     @property
     def half_res(self) -> float:
@@ -354,6 +358,7 @@ def _accumulate_frame(
         heights,
         aux,
         valid,
+        compact=params.compact,
     )
     return state._replace(lcell=lcell, lkey=lkey, laux=laux, fill=fill)
 
@@ -448,6 +453,7 @@ def _rasterize_egocentric(
         dims.num_rows,
         dims.num_cols,
         floor_label=FLOOR_LABEL,
+        compact=params.compact,
     )
 
 

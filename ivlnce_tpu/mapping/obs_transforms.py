@@ -61,6 +61,7 @@ class Mapper:
         known_map_max_points: int = 2 ** 18,
         compute_dtype: str = "float32",
         list_capacity: int = 0,
+        compact: str = "sort",
     ):
         self.compute_dtype = (
             jnp.bfloat16 if compute_dtype == "bfloat16" else None
@@ -81,6 +82,7 @@ class Mapper:
             grid_cells=grid_cells,
             window_cells=window_cells,
             list_capacity=list_capacity,
+            compact=compact,
         )
         self.state: Optional[MapperState] = None
         self.rednet_params = rednet_params
@@ -391,6 +393,7 @@ class Mapper:
             rednet_params=rednet_params,
             compute_dtype=config.TPU.compute_dtype,
             list_capacity=config.TPU.mapper_list_capacity,
+            compact=config.TPU.mapper_compact,
             **kwargs,
         )
 

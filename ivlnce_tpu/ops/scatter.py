@@ -318,6 +318,7 @@ def merge_points_into_list(
     keys_f32: jnp.ndarray,  # (B, N) f32 argmax keys (heights)
     aux: jnp.ndarray,  # (B, N) u32 payloads
     valid: jnp.ndarray,  # (B, N) bool
+    compact: str = "sort",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Merge a frame's points into a sorted compact per-lane cell list —
     the scatter-free world-map accumulator.
@@ -334,13 +335,21 @@ def merge_points_into_list(
        original point index (reversal), and an equal-key incumbent list
        entry sorts after all equal points, so INCUMBENTS WIN ties —
        identical semantics to sorted_argmax_grid_update.
-    2. re-sort by (winner ? cell : LIST_EMPTY): winners compact to the
-       front in cell order = the new sorted list; pads carry LIST_EMPTY.
+    2. compact the winners to the front in cell order = the new sorted
+       list; pads carry LIST_EMPTY. Two equivalent implementations
+       selected by ``compact``: "sort" re-sorts by
+       (winner ? cell : LIST_EMPTY); "scatter" computes each winner's
+       output slot as cumsum(win) - 1 (winners already appear in
+       ascending cell order, so the result is identically sorted) and
+       issues three (N+M)-slot scatter-sets — cheaper whenever a
+       scatter pass beats a 3-operand sort of the same width (A/B via
+       scripts/profile_fused_step.py --compact).
 
     Returns (list_cell, list_key, list_aux, fill) where ``fill`` is the
     per-lane winner count. Callers must flush the list into the dense
     grid before ``fill + N`` can exceed M (mapper.mapper_step) — the
-    truncation to M below is only safe under that invariant.
+    truncation to M below is only safe under that invariant. (Both
+    variants drop the HIGHEST cell ids on overflow.)
     """
     b, m = list_cell.shape
     key_i = sortable_from_float(keys_f32)
@@ -356,6 +365,25 @@ def merge_points_into_list(
     )
     win = is_last & (sc != LIST_EMPTY)
     fill = jnp.sum(win, axis=1).astype(jnp.int32)
+    if compact == "scatter":
+        pos = jnp.cumsum(win.astype(jnp.int32), axis=1) - 1
+        tgt = jnp.where(win, pos, m)  # losers / overflow -> dropped
+        bidx = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], tgt.shape
+        )
+        c2 = (
+            jnp.full((b, m), LIST_EMPTY, jnp.int32)
+            .at[bidx, tgt].set(sc, mode="drop")
+        )
+        k2 = (
+            jnp.full((b, m), EMPTY_KEY, jnp.int32)
+            .at[bidx, tgt].set(sk, mode="drop")
+        )
+        a2 = (
+            jnp.zeros((b, m), jnp.uint32)
+            .at[bidx, tgt].set(sa, mode="drop")
+        )
+        return c2, k2, a2, fill
     tgt = jnp.where(win, sc, LIST_EMPTY)
     c2, k2, a2 = jax.lax.sort((tgt, sk, sa), num_keys=1, is_stable=True)
     return c2[:, :m], k2[:, :m], a2[:, :m], fill
@@ -425,6 +453,7 @@ def rasterize_occupancy_semantic_sorted(
     num_rows: int,
     num_cols: int,
     floor_label: int = 0,
+    compact: str = "sort",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Occupancy + semantic egocentric maps from ONE sort.
 
@@ -483,7 +512,25 @@ def rasterize_occupancy_semantic_sorted(
     target = jnp.where(win, sc, c_total)
 
     k = min(n, c_total)
-    if k < n:  # compact winners to the front, scatter only k slots
+    if k < n and compact == "scatter":
+        # winners number <= one per map cell (<= c_total = k), so every
+        # cumsum position fits: compact via an N-slot scatter instead of
+        # a 2-operand N-wide sort (same A/B rationale as
+        # merge_points_into_list)
+        pos = jnp.cumsum(win.astype(jnp.int32), axis=1) - 1
+        tgt = jnp.where(win, pos, k)
+        bidx_n = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], tgt.shape
+        )
+        target = (
+            jnp.full((b, k), c_total, jnp.int32)
+            .at[bidx_n, tgt].set(target, mode="drop")
+        )
+        sem_val = (
+            jnp.zeros((b, k), jnp.int32)
+            .at[bidx_n, tgt].set(sem_val, mode="drop")
+        )
+    elif k < n:  # compact winners to the front, scatter only k slots
         target, sem_val = jax.lax.sort(
             (target, sem_val), num_keys=1, is_stable=True
         )

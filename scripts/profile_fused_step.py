@@ -44,7 +44,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(b, list_capacity, steps_pool=8):
+def build(b, list_capacity, steps_pool=8, compact="sort"):
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +81,7 @@ def build(b, list_capacity, steps_pool=8):
         grid_cells=1024,
         window_cells=192,
         list_capacity=list_capacity,
+        compact=compact,
     )
     mstate = M.init_state(b, mp.grid_cells, mp.list_capacity)
 
@@ -191,12 +192,10 @@ def time_loop(fn_step, sync, iters, warmup, label):
     return dt
 
 
-def run(b, list_capacity, iters, warmup, phases):
-    import jax.numpy as jnp
-
-    ctx = build(b, list_capacity)
+def run(b, list_capacity, iters, warmup, phases, compact="sort"):
+    ctx = build(b, list_capacity, compact=compact)
     pool = ctx["pool"]
-    res = {"lanes": b, "list_capacity": list_capacity}
+    res = {"lanes": b, "list_capacity": list_capacity, "compact": compact}
 
     state = {
         "m": ctx["mstate"], "rnn": ctx["rnn0"], "prev": ctx["prev0"], "i": 0
@@ -216,8 +215,14 @@ def run(b, list_capacity, iters, warmup, phases):
     t0 = time.time()
     full()
     sync()
-    log(f"B={b} M={list_capacity} compile+first: {time.time() - t0:.1f}s")
-    dt = time_loop(full, sync, iters, warmup, f"F full (B={b} M={list_capacity})")
+    log(
+        f"B={b} M={list_capacity} {compact} compile+first: "
+        f"{time.time() - t0:.1f}s"
+    )
+    dt = time_loop(
+        full, sync, iters, warmup,
+        f"F full (B={b} M={list_capacity} {compact})",
+    )
     res["full_ms"] = dt * 1000
     res["steps_per_sec"] = b / dt
 
@@ -298,6 +303,10 @@ def main():
     ap.add_argument(
         "--list-capacity", type=int, nargs="+", default=[131072]
     )
+    ap.add_argument(
+        "--compact", nargs="+", default=["sort"],
+        choices=["sort", "scatter"],
+    )
     ap.add_argument("--phases", action="store_true")
     args = ap.parse_args()
 
@@ -309,10 +318,14 @@ def main():
     log(f"device: {jax.devices()[0].device_kind}")
 
     results = []
-    for m in args.list_capacity:
-        results.append(
-            run(args.lanes, m, args.iters, args.warmup, args.phases)
-        )
+    for compact in args.compact:
+        for m in args.list_capacity:
+            results.append(
+                run(
+                    args.lanes, m, args.iters, args.warmup, args.phases,
+                    compact=compact,
+                )
+            )
     print(json.dumps(results))
 
 

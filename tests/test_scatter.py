@@ -174,3 +174,100 @@ def test_rasterize_sorted_all_floor_cell_writes_zero(rng):
     occ, sem = np.asarray(occ), np.asarray(sem)
     assert occ[0, 0, 0] == 1 and sem[0, 0, 0] == 0  # occupied, label void
     assert occ[0, 1, 0] == 1 and sem[0, 1, 0] == 3  # non-floor winner
+
+
+def test_merge_compact_variants_identical(rng):
+    """merge_points_into_list's "scatter" compaction (cumsum + scatter-
+    set) must produce the exact same list as the "sort" path, including
+    pads-as-LIST_EMPTY cells and the fill count, across random merges."""
+    import jax.numpy as jnp
+
+    b, m, n = 3, 32, 24
+    lcell = np.full((b, m), S.LIST_EMPTY, np.int32)
+    lkey = np.full((b, m), S.EMPTY_KEY, np.int32)
+    laux = np.zeros((b, m), np.uint32)
+    args_sort = (jnp.asarray(lcell), jnp.asarray(lkey), jnp.asarray(laux))
+    args_scat = (jnp.asarray(lcell), jnp.asarray(lkey), jnp.asarray(laux))
+    for step in range(4):
+        cells = rng.integers(0, 40, size=(b, n)).astype(np.int32)
+        keys = rng.normal(size=(b, n)).astype(np.float32)
+        aux = rng.integers(0, 2**32, size=(b, n), dtype=np.uint64).astype(
+            np.uint32
+        )
+        valid = rng.random((b, n)) > 0.3
+        out_sort = S.merge_points_into_list(
+            *args_sort, jnp.asarray(cells), jnp.asarray(keys),
+            jnp.asarray(aux), jnp.asarray(valid), compact="sort",
+        )
+        out_scat = S.merge_points_into_list(
+            *args_scat, jnp.asarray(cells), jnp.asarray(keys),
+            jnp.asarray(aux), jnp.asarray(valid), compact="scatter",
+        )
+        fill = np.asarray(out_sort[3])
+        np.testing.assert_array_equal(fill, np.asarray(out_scat[3]))
+        np.testing.assert_array_equal(
+            np.asarray(out_sort[0]), np.asarray(out_scat[0])
+        )
+        for lane in range(b):
+            f = fill[lane]
+            np.testing.assert_array_equal(
+                np.asarray(out_sort[1])[lane, :f],
+                np.asarray(out_scat[1])[lane, :f],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_sort[2])[lane, :f],
+                np.asarray(out_scat[2])[lane, :f],
+            )
+        args_sort = out_sort[:3]
+        args_scat = out_scat[:3]
+
+
+def test_merge_compact_variants_same_overflow_rule(rng):
+    """On overflow both variants keep the M lowest cell ids."""
+    import jax.numpy as jnp
+
+    b, m, n = 1, 8, 16
+    lcell = jnp.full((b, m), S.LIST_EMPTY, jnp.int32)
+    lkey = jnp.full((b, m), S.EMPTY_KEY, jnp.int32)
+    laux = jnp.zeros((b, m), jnp.uint32)
+    cells = jnp.asarray(np.arange(n, dtype=np.int32)[None] * 3)  # 16 unique
+    keys = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    aux = jnp.asarray(
+        rng.integers(0, 2**31, size=(b, n)).astype(np.uint32)
+    )
+    valid = jnp.ones((b, n), bool)
+    outs = {}
+    for compact in ("sort", "scatter"):
+        c2, k2, a2, fill = S.merge_points_into_list(
+            lcell, lkey, laux, cells, keys, aux, valid, compact=compact
+        )
+        assert int(fill[0]) == n  # reported pre-truncation
+        np.testing.assert_array_equal(
+            np.asarray(c2[0]), np.arange(m) * 3  # lowest m cells kept
+        )
+        outs[compact] = (np.asarray(k2), np.asarray(a2))
+    np.testing.assert_array_equal(outs["sort"][0], outs["scatter"][0])
+    np.testing.assert_array_equal(outs["sort"][1], outs["scatter"][1])
+
+
+def test_rasterize_compact_variants_identical(rng):
+    """rasterize_occupancy_semantic_sorted: "scatter" winner compaction
+    must reproduce the "sort" path's maps exactly (incl. floor cells)."""
+    import jax.numpy as jnp
+
+    b, n, r, c = 2, 400, 5, 5  # n >> r*c so the compaction path engages
+    rows = rng.integers(0, r, size=(b, n)).astype(np.int32)
+    cols = rng.integers(0, c, size=(b, n)).astype(np.int32)
+    heights = rng.normal(size=(b, n)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(b, n)).astype(np.uint8)
+    valid = rng.random((b, n)) > 0.2
+    out = {}
+    for compact in ("sort", "scatter"):
+        occ, sem = S.rasterize_occupancy_semantic_sorted(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(heights),
+            jnp.asarray(labels), jnp.asarray(valid), r, c,
+            floor_label=0, compact=compact,
+        )
+        out[compact] = (np.asarray(occ), np.asarray(sem))
+    np.testing.assert_array_equal(out["sort"][0], out["scatter"][0])
+    np.testing.assert_array_equal(out["sort"][1], out["scatter"][1])
