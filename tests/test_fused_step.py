@@ -131,3 +131,62 @@ def test_fused_step_mask_clears_world(setup):
     state3, _, _ = device_step(state1, dobs2, jnp.ones(B))
     n3 = occupied(state3)
     assert n3 >= n1  # accumulation grows without reset
+
+
+def test_predicted_semantics_fused_step_runs_and_matches_forward():
+    """The RedNet-fused device step (PredictedSemanticsIterativeMapper)
+    must execute and agree with the transform's legacy .forward path —
+    the pred pipeline previously had no execution coverage (only
+    RedNet-module parity tests)."""
+    from ivlnce_tpu.mapping.obs_transforms import (
+        PredictedSemanticsIterativeMapper,
+    )
+    from ivlnce_tpu.models.rednet import init_rednet
+
+    config = get_config().clone()
+    config.defrost()
+    config.MODEL.policy_name = "MapCMAPolicy"
+    config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = DHW
+    config.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = DHW
+    config.TPU.world_grid_cells = 256
+    config.freeze()
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rednet_params = init_rednet(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(2)
+    obs = {
+        "depth": rng.random((B, DHW, DHW, 1), np.float32) * 0.5 + 0.05,
+        "rgb": rng.integers(0, 255, (B, DHW, DHW, 3)).astype(np.uint8),
+        "world_robot_pose": rng.normal(size=(B, 3)).astype(np.float32),
+        "world_robot_orientation": np.stack(
+            [np.zeros(B), rng.random(B) * 6.28], 1
+        ).astype(np.float32),
+    }
+    masks = np.ones((B, 1), np.float32)
+
+    t1 = PredictedSemanticsIterativeMapper.from_config(
+        config, rednet_params=rednet_params
+    )
+    legacy = dict(obs)
+    legacy["not_done_masks"] = masks
+    legacy = t1.forward(legacy)
+    occ_legacy = np.asarray(legacy["occupancy_map"])
+    sem_legacy = np.asarray(legacy["semantic_map"])
+    assert occ_legacy.shape == (B, MHW, MHW)
+    assert occ_legacy.any(), "random scene produced an empty map"
+
+    t2 = PredictedSemanticsIterativeMapper.from_config(
+        config, rednet_params=rednet_params
+    )
+    t2.host_prepare(obs, masks.reshape(-1))
+    device_step = jax.jit(t2.make_device_step())
+    state, occ, sem = device_step(
+        t2.state,
+        {k: jnp.asarray(v) for k, v in obs.items()},
+        jnp.asarray(masks.reshape(-1)),
+        rednet_params,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), occ_legacy)
+    np.testing.assert_array_equal(np.asarray(sem), sem_legacy)
