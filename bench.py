@@ -43,11 +43,13 @@ TOKENS = 80
 SWEEP_LANES = (768, 512, 384, 256)
 SWEEP_ITERS = 10
 WARMUP = 40
-# long trials + median of 5: the tunnel's throughput wanders on ~minute
+# long trials + median of 7: the tunnel's throughput wanders on ~minute
 # timescales, so 30-iter windows showed 30% spread where 50-iter
-# windows at the same operating point are far tighter
+# windows at the same operating point are far tighter. The reported
+# spread drops the single fastest and slowest trial (documented in the
+# unit string): a one-off transport stall says nothing about the chip.
 TRIAL_ITERS = 50
-TRIALS = 5
+TRIALS = 7
 TORCH_B = 16
 TORCH_ITERS = 8
 
@@ -300,7 +302,7 @@ def bench_tpu():
         log("budget exhausted: reporting sweep medians")
         rates = best_rates
     else:
-        trials = TRIALS if remaining > 700 else 2
+        trials = TRIALS if remaining > 900 else (3 if remaining > 400 else 2)
         try:
             rates = pipe.measure(
                 best_b, warmup=WARMUP, iters=TRIAL_ITERS, trials=trials
@@ -310,7 +312,12 @@ def bench_tpu():
                 "using sweep rates")
             rates = best_rates
     med = float(np.median(rates))
-    spread = float((rates.max() - rates.min()) / max(med, 1e-9))
+    # trimmed spread: with >= 5 trials, drop the single fastest and
+    # slowest window before computing the range — one transport stall
+    # through the tunnel otherwise dominates a statistic meant to
+    # describe the chip's repeatability
+    core = np.sort(rates)[1:-1] if len(rates) >= 5 else np.sort(rates)
+    spread = float((core.max() - core.min()) / max(med, 1e-9))
     flops_step = pipe._flops  # per fused-step dispatch (covers best_b lanes)
     peak = PEAK_BF16.get(pipe.device_kind, 197e12)
     mfu = (
@@ -578,7 +585,8 @@ def main():
                 "unit": (
                     f"env steps/s (B={tpu['lanes']} lanes; mapper+"
                     f"encoders+policy; median of {TRIALS} trials, "
-                    f"spread {tpu['trial_spread']:.2f})"
+                    f"min-max spread of middle trials "
+                    f"{tpu['trial_spread']:.2f})"
                 ),
                 "vs_baseline": round(vs, 2) if vs else None,
                 "mfu": round(tpu["mfu"], 5) if tpu["mfu"] else None,
