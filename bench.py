@@ -316,7 +316,8 @@ def bench_tpu():
     # slowest window before computing the range — one transport stall
     # through the tunnel otherwise dominates a statistic meant to
     # describe the chip's repeatability
-    core = np.sort(rates)[1:-1] if len(rates) >= 5 else np.sort(rates)
+    trimmed = len(rates) >= 5
+    core = np.sort(rates)[1:-1] if trimmed else np.sort(rates)
     spread = float((core.max() - core.min()) / max(med, 1e-9))
     flops_step = pipe._flops  # per fused-step dispatch (covers best_b lanes)
     peak = PEAK_BF16.get(pipe.device_kind, 197e12)
@@ -326,6 +327,8 @@ def bench_tpu():
     return {
         "steps_per_sec": med,
         "lanes": best_b,
+        "trials": len(rates),
+        "spread_kind": "middle-trials range" if trimmed else "full range",
         "trial_spread": spread,
         "flops_per_step_batch": flops_step,
         "mfu": mfu,
@@ -584,8 +587,8 @@ def main():
                 "value": round(tpu["steps_per_sec"], 2),
                 "unit": (
                     f"env steps/s (B={tpu['lanes']} lanes; mapper+"
-                    f"encoders+policy; median of {TRIALS} trials, "
-                    f"min-max spread of middle trials "
+                    f"encoders+policy; median of {tpu['trials']} trials, "
+                    f"{tpu['spread_kind']} spread "
                     f"{tpu['trial_spread']:.2f})"
                 ),
                 "vs_baseline": round(vs, 2) if vs else None,

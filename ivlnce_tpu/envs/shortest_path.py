@@ -65,6 +65,11 @@ class ShortestPathFollower:
                 else "simulate"
             )
         self.mode = mode
+        # livelock guard (waypoint mode): remember the last emitted
+        # MOVE_FORWARD and the pose it was issued from — if the agent
+        # did not move, the same geometry would re-emit MOVE_FORWARD
+        # forever (no collision feedback in pure waypoint steering)
+        self._last_forward_pos: Optional[np.ndarray] = None
 
     # -- shared geometry ----------------------------------------------------
     @property
@@ -97,12 +102,23 @@ class ShortestPathFollower:
                 f"goal {goal_pos} unreachable from {state.position}"
             )
         if self.mode == "waypoint":
-            return self._waypoint_action(state, goal_pos)
+            return self._waypoint_action(state, goal_pos, current)
         return self._simulate_action(state, goal_pos, current)
 
     # -- waypoint strategy (habitat ShortestPathFollower equivalent) --------
-    def _waypoint_action(self, state, goal_pos) -> int:
+    def _waypoint_action(self, state, goal_pos, current: float) -> int:
         pos = np.asarray(state.position, float)
+        # collision feedback: if the last action we issued was
+        # MOVE_FORWARD from this very pose, the step was blocked —
+        # fall back to the simulate-and-restore scorer for this one
+        # decision (it penalizes colliding forwards and picks a turn),
+        # instead of re-emitting MOVE_FORWARD until the step limit
+        if (
+            self._last_forward_pos is not None
+            and np.linalg.norm(pos - self._last_forward_pos) < 1e-6
+        ):
+            self._last_forward_pos = None
+            return self._simulate_action(state, goal_pos, current)
         points = self._sim.get_straight_shortest_path_points(
             pos, np.asarray(goal_pos, float)
         )
@@ -122,7 +138,9 @@ class ShortestPathFollower:
         # aligned within half a turn: move (reference heading alignment
         # tolerance, environments.py:195-232); else converge by turning
         if abs(delta) <= self._turn_angle / 2 + 1e-9:
+            self._last_forward_pos = pos
             return SimActions.MOVE_FORWARD
+        self._last_forward_pos = None
         return SimActions.TURN_LEFT if delta > 0 else SimActions.TURN_RIGHT
 
     # -- simulate strategy (FakeSim fallback) -------------------------------

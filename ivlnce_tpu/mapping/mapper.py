@@ -196,7 +196,10 @@ def clear_lanes(state: MapperState, keep_mask: jnp.ndarray) -> MapperState:
         lkey=jnp.where(keep2, state.lkey, S.EMPTY_KEY),
         laux=jnp.where(keep2, state.laux, jnp.uint32(0)),
         fill=jnp.where(keep_mask, state.fill, 0),
-        dropped=jnp.where(keep_mask, state.dropped, 0),
+        # dropped is CUMULATIVE eval telemetry, not map content: episode
+        # resets must not erase the record of earlier truncation
+        # (warn_if_dropped sums it at eval end)
+        dropped=state.dropped,
     )
 
 
@@ -371,10 +374,18 @@ def _rasterize_egocentric(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Slice the raster window of the dense grid, merge the compact
     list's entries, and rasterize occupancy + semantic maps exactly like
-    DenseMap.update (mapper.py:555-617). The same world cell may appear
-    in both sources; argmax over map cells resolves it identically to
-    pre-merging (max is associative), with grid incumbents winning ties
-    (they sort later in the concatenated input)."""
+    DenseMap.update (mapper.py:555-617).
+
+    The same world cell can appear in BOTH sources (the camera
+    re-observes an area after its cells were flushed to the grid). The
+    reference's world cloud stores exactly ONE point per cell — the
+    height argmax — and only THEN applies the map-time height filter, so
+    duplicates must be resolved on raw heights BEFORE filtering: a cell
+    whose true (higher) winner falls outside the height window is empty
+    in the reference even when a stale lower duplicate would pass. The
+    resolution below gathers each in-window list entry's grid incumbent
+    and keeps the max (incumbent wins ties, like the merge), zeroing the
+    losing window copy — one M-wide gather + where, no extra sort."""
     b = pose.shape[0]
     wcells = params.window_cells
     g = params.grid_cells
@@ -407,15 +418,41 @@ def _rasterize_egocentric(
     # list entries: rel cell -> absolute (r, c)
     lvalid = state.lcell != S.LIST_EMPTY
     lc = jnp.where(lvalid, state.lcell, 0)
-    lcell_r = lc // g + state.origin[:, 0:1]
-    lcell_c = lc % g + state.origin[:, 1:2]
+    lrel_r = lc // g
+    lrel_c = lc % g
+    lcell_r = lrel_r + state.origin[:, 0:1]
+    lcell_c = lrel_c + state.origin[:, 1:2]
 
-    # concatenated candidate set: [window, list] — the rasterize sort
-    # resolves equal-key ties to the LOWEST input index, so placing the
-    # window first makes grid incumbents win equal-key duplicates of the
-    # same world cell
-    cand_key = jnp.concatenate([win_key, state.lkey], axis=1)
-    cand_aux = jnp.concatenate([win_aux, state.laux], axis=1)
+    # resolve window/list duplicates of the same world cell on RAW
+    # heights (dedup-then-filter, see docstring): gather each in-window
+    # list entry's grid incumbent, keep the max in the list slot
+    # (incumbent wins ties), and blank the window copy
+    dr = lrel_r - start_r[:, None]
+    dc = lrel_c - start_c[:, None]
+    in_win = (
+        lvalid
+        & (dr >= 0) & (dr < wcells)
+        & (dc >= 0) & (dc < wcells)
+    )
+    widx = jnp.where(in_win, dr * wcells + dc, 0)
+    g_key = jnp.take_along_axis(win_key, widx, axis=1)
+    g_aux = jnp.take_along_axis(win_aux, widx, axis=1)
+    grid_wins = in_win & (g_key >= state.lkey)
+    lkey_res = jnp.where(grid_wins, g_key, state.lkey)
+    laux_res = jnp.where(grid_wins, g_aux, state.laux)
+    m = state.lcell.shape[1]
+    bidx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, m)
+    )
+    blank = jnp.where(in_win, widx, wcells * wcells)
+    win_key = win_key.at[bidx, blank].set(S.EMPTY_KEY, mode="drop")
+
+    # concatenated candidate set: [window, list] — after the resolution
+    # above each world cell appears at most once; remaining equal-key
+    # ties across DIFFERENT world cells resolve to the lowest input
+    # index (any deterministic rule is parity-safe there)
+    cand_key = jnp.concatenate([win_key, lkey_res], axis=1)
+    cand_aux = jnp.concatenate([win_aux, laux_res], axis=1)
     cand_r = jnp.concatenate([wcell_r, lcell_r], axis=1)
     cand_c = jnp.concatenate([wcell_c, lcell_c], axis=1)
     cand_valid = jnp.concatenate(

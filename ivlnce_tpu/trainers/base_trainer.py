@@ -428,6 +428,29 @@ class BaseVLNCETrainer:
         full[rows] = arr
         return full
 
+    def _wire_device_obs(self, batch, transform) -> Dict[str, Any]:
+        """Build the device-side obs for one act dispatch: expand live
+        lanes to full-width rows, upload ONLY keys the fused executable
+        reads (utils/batching.wire_obs_keys — the loops are
+        upload-bandwidth-bound on constrained transports), ship depth as
+        uint16 when enabled, and consume instruction tokens into the
+        per-episode feature cache. Shared by the eval _policy_step and
+        the DAgger _collect_step so the two upload paths cannot drift."""
+        wire_keys = batching.wire_obs_keys(self.policy, transform)
+        dobs = {
+            k: self._expand_rows(v)
+            for k, v in _device_batch(batch).items()
+            if (
+                transform is None
+                or k not in ("occupancy_map", "semantic_map")
+            )
+            and (wire_keys is None or k in wire_keys)
+        }
+        dobs = batching.encode_wire_obs(
+            dobs, self.config.TPU.wire_depth_uint16
+        )
+        return self._cache_instruction_features(dobs)
+
     def _policy_step(self, batch, reset_masks, rnn_states, prev_actions,
                      masks, iterative: bool, need_maps: bool = True,
                      defer_maps: bool = False):
@@ -461,19 +484,7 @@ class BaseVLNCETrainer:
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
-        # upload only what the act executable reads, depth as uint16:
-        # the loop is upload-bandwidth-bound on constrained transports
-        wire_keys = batching.wire_obs_keys(self.policy, transform)
-        dobs = {
-            k: self._expand_rows(v)
-            for k, v in _device_batch(batch).items()
-            if (transform is None or k not in ("occupancy_map", "semantic_map"))
-            and (wire_keys is None or k in wire_keys)
-        }
-        dobs = batching.encode_wire_obs(
-            dobs, self.config.TPU.wire_depth_uint16
-        )
-        dobs = self._cache_instruction_features(dobs)
+        dobs = self._wire_device_obs(batch, transform)
         # pad masks with 0: dead rows stay reset and their prev-action
         # embedding indexes the masked slot
         masks_full = tuple(self._expand_rows(m) for m in masks)
@@ -611,12 +622,17 @@ class BaseVLNCETrainer:
         return n
 
     def _train_step_fn(self, n_lanes: int):
-        if "train_step" not in self._jit_cache:
+        # the DP decision depends on the batch's lane count (divisibility)
+        # — key the cache by the resolved device count so a divisible
+        # batch after an odd one (or vice versa) gets the right step
+        # instead of a cached mismatched sharding
+        ndp = self._data_parallel_devices(n_lanes)
+        key = f"train_step_dp{ndp}"
+        if key not in self._jit_cache:
             update_map_bn = (
                 self.config.MODEL.policy_name == "MapCMAPolicy"
                 and self.config.MODEL.SEMANTIC_MAP_ENCODER.trainable
             )
-            ndp = self._data_parallel_devices(n_lanes)
             if ndp > 1:
                 from ivlnce_tpu.parallel import make_mesh
                 from ivlnce_tpu.parallel.train import sharded_train_step
@@ -626,7 +642,7 @@ class BaseVLNCETrainer:
                     f"IL update: data-parallel over {ndp} devices "
                     f"(mesh {dict(mesh.shape)})"
                 )
-                self._jit_cache["train_step"] = sharded_train_step(
+                self._jit_cache[key] = sharded_train_step(
                     self.policy,
                     self.optimizer,
                     mesh,
@@ -637,7 +653,7 @@ class BaseVLNCETrainer:
                     update_map_bn=update_map_bn,
                 )
             else:
-                self._jit_cache["train_step"] = jax.jit(
+                self._jit_cache[key] = jax.jit(
                     make_train_step(
                         self.policy,
                         self.optimizer,
@@ -646,7 +662,7 @@ class BaseVLNCETrainer:
                         update_map_bn=update_map_bn,
                     )
                 )
-        return self._jit_cache["train_step"]
+        return self._jit_cache[key]
 
     def _update_agent(
         self,
@@ -784,6 +800,8 @@ class BaseVLNCETrainer:
     ) -> None:
         if metrics is None:
             metrics = list(EVAL_METRICS)
+        # per-checkpoint phase attribution (accumulators are process-wide)
+        profiling.reset_phases()
 
         with contextlib.suppress(Exception):
             checkpoint_index = int(checkpoint_path.split(".")[-2])
@@ -997,6 +1015,8 @@ class BaseVLNCETrainer:
     def _eval_checkpoint_iterative(
         self, config, writer, checkpoint_index: int = 0
     ):
+        # per-checkpoint phase attribution (accumulators are process-wide)
+        profiling.reset_phases()
         if "Iterative" not in config.ENV_NAME:
             config = config.clone()
             config.ENV_NAME = config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENV_NAME

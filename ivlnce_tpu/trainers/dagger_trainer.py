@@ -22,7 +22,7 @@ import numpy as np
 
 from ivlnce_tpu.envs.vector_env import construct_envs
 from ivlnce_tpu.mapping.obs_transforms import get_active_obs_transforms
-from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer, _device_batch
+from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
 from ivlnce_tpu.trainers.trajectory_store import TrajectoryStore
 from ivlnce_tpu.utils import batching, logging_util
 from ivlnce_tpu.utils.batching import (
@@ -559,17 +559,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
-        wire_keys = batching.wire_obs_keys(self.policy, transform)
-        dobs = {
-            k: self._expand_rows(v)
-            for k, v in _device_batch(batch).items()
-            if (transform is None or k not in ("occupancy_map", "semantic_map"))
-            and (wire_keys is None or k in wire_keys)
-        }
-        dobs = batching.encode_wire_obs(
-            dobs, self.config.TPU.wire_depth_uint16
-        )
-        dobs = self._cache_instruction_features(dobs)
+        dobs = self._wire_device_obs(batch, transform)
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
         fused = self._collect_fused_fn(transform, iterative)

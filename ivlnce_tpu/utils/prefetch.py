@@ -114,10 +114,16 @@ def _window_worker(fn, tasks, wid, num_workers, q):
             q.put(("end", ti, None))
         q.put(("done", None, None))
     except BaseException as e:  # surface in the parent
+        # mp.Queue serializes in a background FEEDER thread, so an
+        # unpicklable exception would be dropped silently AFTER put()
+        # returned — probe picklability synchronously first
+        import pickle
+
         try:
-            q.put(("error", None, e))
+            pickle.dumps(e)
         except Exception:
-            q.put(("error", None, RuntimeError(repr(e))))
+            e = RuntimeError(f"{type(e).__name__}: {e}")
+        q.put(("error", None, e))
 
 
 class ProcessWindowIterator:
@@ -149,11 +155,27 @@ class ProcessWindowIterator:
         return self
 
     def __next__(self):
+        import queue as queue_mod
+
         while True:
             if self._ti >= len(self._tasks):
                 self.close()
                 raise StopIteration
-            kind, ti, item = self._qs[self._ti % self._n].get()
+            w = self._ti % self._n
+            try:
+                kind, ti, item = self._qs[w].get(timeout=10)
+            except queue_mod.Empty:
+                # a worker killed without a message (OOM, segfault in
+                # the decode C layer) would otherwise hang the consumer
+                # forever
+                if not self._procs[w].is_alive():
+                    code = self._procs[w].exitcode
+                    self.close()
+                    raise RuntimeError(
+                        f"decode worker {w} died (exit {code}) without "
+                        "delivering its window"
+                    )
+                continue
             if kind == "error":
                 self.close()
                 raise item

@@ -263,3 +263,76 @@ def test_step_without_obs_matches_step_state():
         assert sim_a.previous_step_collided == sim_b.previous_step_collided
     # rendering still works after probes
     assert "depth" in sim_b.render_observations()
+
+
+def test_waypoint_follower_blocked_forward_does_not_livelock():
+    """Pure waypoint steering has no collision feedback: a blocked
+    MOVE_FORWARD leaves the pose unchanged and the same geometry would
+    re-emit MOVE_FORWARD forever. After an ineffective forward the
+    follower must fall back to the probe scorer and emit a TURN."""
+    import math
+
+    from ivlnce_tpu.envs.shortest_path import ShortestPathFollower
+    from ivlnce_tpu.envs.sim_api import AgentState, SimActions
+
+    class WallSim:
+        """Agent at origin facing -z; a wall blocks forward motion, but
+        turning then moving sideways makes geodesic progress."""
+
+        forward_step = 0.25
+        turn_angle = math.radians(15.0)
+
+        def __init__(self):
+            self.pos = np.zeros(3)
+            self.heading = 0.0  # facing -z
+            self.steps = 0
+
+        def get_agent_state(self):
+            q = [0.0, math.sin(self.heading / 2), 0.0,
+                 math.cos(self.heading / 2)]
+            return AgentState(position=self.pos.copy(), rotation=q)
+
+        def set_agent_state(self, position, rotation, **kw):
+            self.pos = np.asarray(position, float).copy()
+            x, y, z, w = rotation
+            self.heading = 2 * math.atan2(y, w)
+
+        def geodesic_distance(self, a, b):
+            return float(np.linalg.norm(np.asarray(a) - np.asarray(b))) + 1.0
+
+        def get_straight_shortest_path_points(self, a, b):
+            return [a, b]  # straight through the wall
+
+        def step(self, action):
+            self.steps += 1
+            if action == SimActions.MOVE_FORWARD:
+                # the wall blocks motion straight ahead (-z) only
+                if abs(_wrap(self.heading)) > math.radians(20):
+                    d = np.array(
+                        [-math.sin(self.heading), 0.0,
+                         -math.cos(self.heading)]
+                    )
+                    self.pos = self.pos + self.forward_step * d
+            elif action == SimActions.TURN_LEFT:
+                self.heading += self.turn_angle
+            elif action == SimActions.TURN_RIGHT:
+                self.heading -= self.turn_angle
+
+        step_without_obs = step
+
+    def _wrap(a):
+        return ((a + math.pi) % (2 * math.pi)) - math.pi
+
+    sim = WallSim()
+    follower = ShortestPathFollower(sim, 0.2, mode="waypoint")
+    goal = np.array([0.0, 0.0, -5.0])
+
+    a1 = follower.get_next_action(goal)
+    assert a1 == SimActions.MOVE_FORWARD  # aligned: tries to move
+    sim.step(a1)  # blocked: pose unchanged
+    pos_before = sim.pos.copy()
+    a2 = follower.get_next_action(goal)
+    assert a2 in (SimActions.TURN_LEFT, SimActions.TURN_RIGHT), (
+        "follower re-emitted MOVE_FORWARD from an unmoved pose"
+    )
+    np.testing.assert_allclose(sim.pos, pos_before)  # probes restored

@@ -138,8 +138,12 @@ def synth_frame(rng, hw, near=0.05, far=0.6):
     return depth, sem
 
 
-# 12 steps crosses the two-level flush boundary (flush_interval=8), so
-# window->big-grid merging is exercised against the reference
+# Flushes are capacity-triggered (fill > list_capacity - frame_points),
+# so the longer walk exercises list->grid flushing and the grid/list
+# duplicate resolution only if the accumulated unique cells cross that
+# bound — test_flush_boundary_matches_reference below forces a flush
+# explicitly with a tiny capacity so the coverage doesn't depend on this
+# walk's geometry.
 @pytest.mark.parametrize("steps", [4, 12])
 def test_mapper_matches_numpy_reference_over_episode(rng, steps):
     params = make_params()
@@ -336,11 +340,15 @@ def test_mapper_counts_out_of_extent_drops(rng):
     )
     dropped = np.asarray(state.dropped)
     assert (dropped > 0).all()
-    # lane clear resets the counter
+    # the counter is CUMULATIVE eval telemetry: an episode reset clears
+    # the lane's map but must NOT erase the record of earlier truncation
+    # (warn_if_dropped sums it at eval end — a per-episode reset would
+    # hide every finished episode's losses)
     state2 = M.clear_lanes(state, jnp.asarray(np.array([True, False])))
     d2 = np.asarray(state2.dropped)
-    assert d2[0] == dropped[0] and d2[1] == 0
-    # nearby frames drop nothing
+    assert d2[0] == dropped[0] and d2[1] == dropped[1]
+    assert not np.asarray(state2.origin_set)[1]  # map content DID clear
+    # nearby frames add nothing to the counter
     state3, _, _ = mapper_step(
         params, state2,
         jnp.asarray(np.full((2, hw, hw), 0.05, np.float32)),
@@ -348,4 +356,150 @@ def test_mapper_counts_out_of_extent_drops(rng):
         jnp.asarray(zeros), jnp.asarray(ones),
     )
     d3 = np.asarray(state3.dropped)
-    assert d3[0] == dropped[0] and d3[1] == 0
+    np.testing.assert_array_equal(d3, d2)
+
+
+def test_rasterize_resolves_grid_list_duplicate_before_height_filter():
+    """A world cell can live in BOTH the dense grid (flushed earlier) and
+    the compact list (re-observed later). The reference's cloud stores
+    only the cell's height-argmax point and THEN applies the map-time
+    height filter — so when the true (higher) winner is filtered out,
+    the cell must be EMPTY even though the stale lower duplicate would
+    pass the filter."""
+    import jax.numpy as jnp
+
+    from ivlnce_tpu.ops import scatter as S
+
+    g = 128
+    params = MapperParams(
+        camera=CameraParameters(
+            vertical_fov_radians=math.radians(79.0),
+            features_spatial_dimensions=(4, 4),
+            height_clip=0.1,
+        ),
+        map_height_meters=1.6,
+        map_width_meters=1.6,
+        resolution_meters=0.1,
+        grid_cells=g,
+        window_cells=64,
+        list_capacity=8192,
+    )
+    state = init_state(1, g, params.list_capacity)
+    origin = np.array([[-g // 2, -g // 2]], np.int32)
+
+    # world cell (r_abs=0, c_abs=2) = (z=0.0 m, x=0.1 m):
+    #   grid incumbent: height 1.7, label 3 (the TRUE winner)
+    #   list duplicate: height 0.5, label 2 (stale lower point)
+    rel_r, rel_c = g // 2, g // 2 + 2
+    key = np.full((1, g, g), S.EMPTY_KEY, np.int32)
+    aux = np.zeros((1, g, g), np.uint32)
+    key[0, rel_r, rel_c] = int(S.sortable_from_float(jnp.float32(1.7)))
+    aux[0, rel_r, rel_c] = int(
+        S.pack_aux(
+            jnp.float32(0.1), jnp.float32(0.0), jnp.uint32(3),
+            jnp.int32(0), jnp.int32(2), params.half_res,
+        )
+    )
+    lcell = np.full((1, params.list_capacity), S.LIST_EMPTY, np.int32)
+    lkey = np.full((1, params.list_capacity), S.EMPTY_KEY, np.int32)
+    laux = np.zeros((1, params.list_capacity), np.uint32)
+    lcell[0, 0] = rel_r * g + rel_c
+    lkey[0, 0] = int(S.sortable_from_float(jnp.float32(0.5)))
+    laux[0, 0] = int(
+        S.pack_aux(
+            jnp.float32(0.1), jnp.float32(0.0), jnp.uint32(2),
+            jnp.int32(0), jnp.int32(2), params.half_res,
+        )
+    )
+    state = state._replace(
+        key=jnp.asarray(key), aux=jnp.asarray(aux),
+        origin=jnp.asarray(origin),
+        origin_set=jnp.ones((1,), bool),
+        lcell=jnp.asarray(lcell), lkey=jnp.asarray(lkey),
+        laux=jnp.asarray(laux), fill=jnp.ones((1,), jnp.int32),
+    )
+    heading = jnp.zeros((1,), jnp.float32)
+
+    # robot at y=0.8: map window (-0.45, 1.55) — the true winner (1.7)
+    # is filtered out, so the cell is empty (the stale 0.5 duplicate
+    # must NOT leak through)
+    occ, sem = M._rasterize_egocentric(
+        params, state, jnp.asarray([[0.0, 0.8, 0.0]], jnp.float32), heading
+    )
+    assert int(np.asarray(occ).sum()) == 0
+    assert int(np.asarray(sem).sum()) == 0
+
+    # robot at y=1.25: window (0.0, 2.0) — the winner passes and its
+    # label (3, not the duplicate's 2) is rasterized
+    occ2, sem2 = M._rasterize_egocentric(
+        params, state, jnp.asarray([[0.0, 1.25, 0.0]], jnp.float32), heading
+    )
+    assert int(np.asarray(occ2).sum()) == 1
+    assert int(np.asarray(sem2).max()) == 3
+
+    # flipped duplicate (list holds the higher point): the list wins and
+    # its label is used
+    state_flip = state._replace(
+        lkey=jnp.asarray(
+            np.where(
+                lcell == rel_r * g + rel_c,
+                int(S.sortable_from_float(jnp.float32(1.9))),
+                lkey,
+            ).astype(np.int32)
+        )
+    )
+    occ3, sem3 = M._rasterize_egocentric(
+        params, state_flip,
+        jnp.asarray([[0.0, 1.25, 0.0]], jnp.float32), heading,
+    )
+    assert int(np.asarray(occ3).sum()) == 1
+    assert int(np.asarray(sem3).max()) == 2
+
+
+def test_flush_boundary_matches_reference(rng):
+    """Force a list->grid flush EVERY step (list_capacity == one frame,
+    so fill > capacity - frame_points immediately) while the camera
+    re-observes the same area with a varying robot height: every step
+    creates grid/list duplicates of freshly re-seen cells and moves the
+    map-time height window across stored heights. The maps must still
+    match the NumPy reference port (which keeps one argmax point per
+    cell and filters afterwards) step for step."""
+    hw = 16
+    params = MapperParams(
+        camera=CameraParameters(
+            vertical_fov_radians=math.radians(79.0),
+            features_spatial_dimensions=(hw, hw),
+            height_clip=0.1,
+        ),
+        map_height_meters=6.4,
+        map_width_meters=6.4,
+        resolution_meters=0.1,
+        grid_cells=512,
+        window_cells=192,
+        list_capacity=hw * hw,
+    )
+    state = init_state(1, params.grid_cells, params.list_capacity)
+    ref = NumpyReferenceMapper(params)
+
+    pose = np.array([[0.0, 1.25, 0.0]], np.float32)
+    heading = np.array([0.0], np.float32)
+    for t in range(8):
+        depth, sem = synth_frame(rng, hw)
+        state, occ, semmap = mapper_step(
+            params, state, depth[None], sem[None], pose,
+            np.zeros(1, np.float32), heading, np.ones(1, np.float32),
+        )
+        ro, rs = ref.step(depth, sem, pose[0], 0.0, float(heading[0]))
+        np.testing.assert_array_equal(
+            np.asarray(occ)[0], ro, err_msg=f"occupancy mismatch step {t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(semmap)[0], rs, err_msg=f"semantic mismatch step {t}"
+        )
+        # oscillate in place (revisits the same cells) while the robot
+        # height wanders enough to move points in/out of the map window
+        pose = pose + np.array(
+            [[0.15 if t % 2 == 0 else -0.15, 0.25 if t % 2 else -0.25,
+              0.05]], np.float32,
+        )
+        heading = heading + np.array([0.4 if t % 2 else -0.3], np.float32)

@@ -177,3 +177,46 @@ def test_dataset_parallel_batches_match_serial_coverage(tmp_path):
     with ds.batches_parallel(workers=2) as it:
         par = signature(it)
     assert par == serial
+
+
+class _Unpicklable(Exception):
+    def __init__(self):
+        super().__init__("nope")
+        self.fh = open(__file__)  # file handles don't pickle
+
+
+def _raise_unpicklable(task):
+    if task == 1:
+        raise _Unpicklable()
+    return [task]
+
+
+def _die_hard(task):
+    if task == 1:
+        import os
+        import signal
+
+        os.kill(os.getpid(), signal.SIGKILL)
+    return [task]
+
+
+def test_process_windows_unpicklable_error_still_propagates():
+    import pytest
+
+    from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
+
+    with ProcessWindowIterator(_raise_unpicklable, [0, 1], workers=1) as it:
+        with pytest.raises(RuntimeError, match="_Unpicklable"):
+            list(it)
+
+
+def test_process_windows_detects_killed_worker():
+    """A worker killed without delivering (OOM/segfault class) must fail
+    the consumer with a diagnostic instead of hanging forever."""
+    import pytest
+
+    from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
+
+    with ProcessWindowIterator(_die_hard, [0, 1], workers=1) as it:
+        with pytest.raises(RuntimeError, match="died"):
+            list(it)
