@@ -65,11 +65,19 @@ class ShortestPathFollower:
                 else "simulate"
             )
         self.mode = mode
-        # livelock guard (waypoint mode): remember the last emitted
-        # MOVE_FORWARD and the pose it was issued from — if the agent
-        # did not move, the same geometry would re-emit MOVE_FORWARD
-        # forever (no collision feedback in pure waypoint steering)
-        self._last_forward_pos: Optional[np.ndarray] = None
+        # Collision escape (waypoint mode). Pure waypoint steering has no
+        # collision feedback: a blocked MOVE_FORWARD leaves the state
+        # unchanged and identical geometry would re-emit it forever.
+        # Detection must NOT infer execution from repeated queries — the
+        # iterative env queries the follower twice per executed action
+        # (env.py _step_oracle) and the DAgger expert sensor's suggestion
+        # is often not the executed action — so the trigger requires the
+        # sim's own collided flag PLUS an exact (pos, heading) match with
+        # the last emitted MOVE_FORWARD. Escape = rotate one consistent
+        # direction until outside the cone of headings that proved
+        # blocked, then try forward again; any position change clears it.
+        self._last_forward: Optional[tuple] = None  # (pos, heading)
+        self._blocked: Optional[dict] = None  # {pos, headings: [..]}
 
     # -- shared geometry ----------------------------------------------------
     @property
@@ -108,17 +116,36 @@ class ShortestPathFollower:
     # -- waypoint strategy (habitat ShortestPathFollower equivalent) --------
     def _waypoint_action(self, state, goal_pos, current: float) -> int:
         pos = np.asarray(state.position, float)
-        # collision feedback: if the last action we issued was
-        # MOVE_FORWARD from this very pose, the step was blocked —
-        # fall back to the simulate-and-restore scorer for this one
-        # decision (it penalizes colliding forwards and picks a turn),
-        # instead of re-emitting MOVE_FORWARD until the step limit
-        if (
-            self._last_forward_pos is not None
-            and np.linalg.norm(pos - self._last_forward_pos) < 1e-6
+        heading = heading_from_quat(state.rotation)
+
+        # escape bookkeeping (see __init__): moving clears it; a blocked
+        # forward (collided flag + unmoved exact state since we emitted
+        # MOVE_FORWARD) adds this heading to the blocked cone
+        if self._blocked is not None and (
+            np.linalg.norm(pos - self._blocked["pos"]) > 1e-6
         ):
-            self._last_forward_pos = None
-            return self._simulate_action(state, goal_pos, current)
+            self._blocked = None
+        if (
+            self._last_forward is not None
+            and np.linalg.norm(pos - self._last_forward[0]) < 1e-6
+            and abs(_wrap_angle(heading - self._last_forward[1])) < 1e-9
+            and getattr(self._sim, "previous_step_collided", False)
+        ):
+            if self._blocked is None:
+                self._blocked = {"pos": pos, "headings": []}
+            self._blocked["headings"].append(heading)
+            self._last_forward = None
+        if self._blocked is not None:
+            in_cone = any(
+                abs(_wrap_angle(heading - h)) <= self._turn_angle / 2 + 1e-9
+                for h in self._blocked["headings"]
+            )
+            if in_cone:
+                return SimActions.TURN_LEFT  # rotate out, one direction
+            # outside the blocked cone: try forward in this new direction
+            self._last_forward = (pos, heading)
+            return SimActions.MOVE_FORWARD
+
         points = self._sim.get_straight_shortest_path_points(
             pos, np.asarray(goal_pos, float)
         )
@@ -134,13 +161,13 @@ class ShortestPathFollower:
                 target = p
                 break
         desired = math.atan2(-(target[0] - pos[0]), -(target[2] - pos[2]))
-        delta = _wrap_angle(desired - heading_from_quat(state.rotation))
+        delta = _wrap_angle(desired - heading)
         # aligned within half a turn: move (reference heading alignment
         # tolerance, environments.py:195-232); else converge by turning
         if abs(delta) <= self._turn_angle / 2 + 1e-9:
-            self._last_forward_pos = pos
+            self._last_forward = (pos, heading)
             return SimActions.MOVE_FORWARD
-        self._last_forward_pos = None
+        self._last_forward = None
         return SimActions.TURN_LEFT if delta > 0 else SimActions.TURN_RIGHT
 
     # -- simulate strategy (FakeSim fallback) -------------------------------

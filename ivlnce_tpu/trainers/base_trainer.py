@@ -614,10 +614,16 @@ class BaseVLNCETrainer:
         avail = jax.device_count()
         n = avail if want < 0 else min(want, avail)
         if n > 1 and n_lanes % n != 0:
-            logger.warning(
-                f"data-parallel train step disabled: batch lanes "
-                f"({n_lanes}) not divisible by device count ({n})"
-            )
+            # evaluated per update: warn once per distinct lane count,
+            # not on every batch
+            warned = getattr(self, "_dp_warned_lanes", set())
+            if n_lanes not in warned:
+                warned.add(n_lanes)
+                self._dp_warned_lanes = warned
+                logger.warning(
+                    f"data-parallel train step disabled: batch lanes "
+                    f"({n_lanes}) not divisible by device count ({n})"
+                )
             return 1
         return n
 

@@ -286,6 +286,7 @@ def test_waypoint_follower_blocked_forward_does_not_livelock():
             self.pos = np.zeros(3)
             self.heading = 0.0  # facing -z
             self.steps = 0
+            self.previous_step_collided = False
 
         def get_agent_state(self):
             q = [0.0, math.sin(self.heading / 2), 0.0,
@@ -305,6 +306,7 @@ def test_waypoint_follower_blocked_forward_does_not_livelock():
 
         def step(self, action):
             self.steps += 1
+            self.previous_step_collided = False
             if action == SimActions.MOVE_FORWARD:
                 # the wall blocks motion straight ahead (-z) only
                 if abs(_wrap(self.heading)) > math.radians(20):
@@ -313,6 +315,8 @@ def test_waypoint_follower_blocked_forward_does_not_livelock():
                          -math.cos(self.heading)]
                     )
                     self.pos = self.pos + self.forward_step * d
+                else:
+                    self.previous_step_collided = True
             elif action == SimActions.TURN_LEFT:
                 self.heading += self.turn_angle
             elif action == SimActions.TURN_RIGHT:
@@ -329,10 +333,30 @@ def test_waypoint_follower_blocked_forward_does_not_livelock():
 
     a1 = follower.get_next_action(goal)
     assert a1 == SimActions.MOVE_FORWARD  # aligned: tries to move
-    sim.step(a1)  # blocked: pose unchanged
-    pos_before = sim.pos.copy()
+    sim.step(a1)  # blocked: pose unchanged, collided flag set
     a2 = follower.get_next_action(goal)
     assert a2 in (SimActions.TURN_LEFT, SimActions.TURN_RIGHT), (
-        "follower re-emitted MOVE_FORWARD from an unmoved pose"
+        "follower re-emitted MOVE_FORWARD from a collided unmoved pose"
     )
-    np.testing.assert_allclose(sim.pos, pos_before)  # probes restored
+
+    # the escape must actually clear the wall: within a handful of
+    # decisions the agent rotates out of the blocked cone and MOVES
+    # (the naive one-turn fallback cycled FWD/RIGHT/LEFT forever)
+    sim.step(a2)
+    moved_at = None
+    for i in range(12):
+        # env.py _step_oracle queries twice per executed action; include
+        # the extra non-executed query to prove it cannot mis-trigger
+        follower.get_next_action(goal)
+        a = follower.get_next_action(goal)
+        sim.step(a)
+        if np.linalg.norm(sim.pos) > 1e-9:
+            moved_at = i
+            break
+    assert moved_at is not None, "follower never escaped the wall"
+    # and it keeps making real progress afterwards (WallSim's wall is
+    # infinite and heading-based, so every forward needs a fresh ~7-action
+    # escape cycle — far harsher than a real navmesh corner)
+    for _ in range(16):
+        sim.step(follower.get_next_action(goal))
+    assert np.linalg.norm(sim.pos) >= 2 * sim.forward_step - 1e-6
