@@ -124,15 +124,14 @@ class _MockAgent:
 
 class _MockPathfinder:
     def find_path(self, path):
-        d = float(
-            np.min(
-                np.linalg.norm(
-                    np.asarray(path.requested_ends, float)
-                    - np.asarray(path.requested_start, float),
-                    axis=-1,
-                )
-            )
-        )
+        start = np.asarray(path.requested_start, float)
+        if getattr(path, "requested_ends", None) is not None:
+            ends = np.asarray(path.requested_ends, float)
+            d = float(np.min(np.linalg.norm(ends - start, axis=-1)))
+        else:  # habitat_sim.ShortestPath single-goal + waypoints
+            end = np.asarray(path.requested_end, float)
+            d = float(np.linalg.norm(end - start))
+            path.points = [start, end]  # open navmesh: straight segment
         path.geodesic_distance = d
         return True
 
@@ -172,9 +171,24 @@ class _MockSim:
         }
 
     def step(self, action):
+        # habitat-sim motion semantics: forward = R(q) @ (0, 0, -1)
+        # = (-sin h, 0, -cos h) for yaw h about +y; TURN_LEFT increases h
+        import math
+
         ag = self._agents[0]._state
+        q = ag.rotation
+        h = 2.0 * math.atan2(q.y, q.w)
         if action == SimActions.MOVE_FORWARD:
-            ag.position = ag.position + np.array([0.25, 0, 0], np.float32)
+            d = np.array(
+                [-math.sin(h), 0.0, -math.cos(h)], np.float32
+            )
+            ag.position = ag.position + np.float32(0.25) * d
+        elif action == SimActions.TURN_LEFT:
+            h += math.radians(15.0)
+            ag.rotation = _MockQuat(0.0, math.sin(h / 2), 0.0, math.cos(h / 2))
+        elif action == SimActions.TURN_RIGHT:
+            h -= math.radians(15.0)
+            ag.rotation = _MockQuat(0.0, math.sin(h / 2), 0.0, math.cos(h / 2))
         return self.get_sensor_observations()
 
     def reconfigure(self, configuration):
@@ -207,6 +221,13 @@ def _install_mock_habitat_sim(monkeypatch):
             self.requested_ends = None
             self.geodesic_distance = float("inf")
 
+    class ShortestPath:
+        def __init__(self):
+            self.requested_start = None
+            self.requested_end = None
+            self.geodesic_distance = float("inf")
+            self.points = []
+
     agent_mod = types.ModuleType("habitat_sim.agent")
 
     class AgentConfiguration:
@@ -238,6 +259,7 @@ def _install_mock_habitat_sim(monkeypatch):
     hsim.SimulatorConfiguration = SimulatorConfiguration
     hsim.Configuration = Configuration
     hsim.MultiGoalShortestPath = MultiGoalShortestPath
+    hsim.ShortestPath = ShortestPath
     hsim.Simulator = _MockSim
     hsim.agent = agent_mod
     hsim.utils = utils_mod
@@ -316,3 +338,33 @@ def test_make_sim_falls_back_without_habitat():
 
     sim = make_sim(get_extended_config())
     assert isinstance(sim, FakeSim)
+
+
+def test_waypoint_follower_navigates_through_adapter(adapter):
+    """Closed-loop oracle navigation across the L0 boundary: the WAYPOINT
+    ShortestPathFollower (the mode real habitat runs, VERDICT r2 item 6)
+    must steer HabitatSimAdapter to a goal using only pathfinder
+    waypoints + the adapter's quaternion/heading conventions — a sign
+    error in any of heading_from_quat, the turn direction, or the
+    forward axis makes this walk diverge instead of converge."""
+    from ivlnce_tpu.envs.shortest_path import ShortestPathFollower
+
+    adapter.set_agent_state([0.0, 0.0, 0.0], [0, 0, 0, 1])
+    follower = ShortestPathFollower(adapter, goal_radius=0.25)
+    assert follower.mode == "waypoint"  # adapter advertises waypoints
+
+    goal = [1.5, 0.0, 2.5]
+    action = None
+    steps = 0
+    for _ in range(120):
+        action = follower.get_next_action(goal)
+        if action == SimActions.STOP:
+            break
+        adapter.step(action)
+        steps += 1
+    assert action == SimActions.STOP, "follower never declared arrival"
+    final = adapter.get_agent_state().position
+    assert adapter.geodesic_distance(final, goal) <= 0.25 + 1e-6
+    # sanity: it took a plausible number of actions (not a teleport, not
+    # a near-timeout wander) for a ~2.9 m straight walk + initial turns
+    assert 10 <= steps <= 60, steps
