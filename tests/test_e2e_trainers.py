@@ -235,3 +235,29 @@ def test_known_maps_eval_preloads_and_writes_stats(trained):
     assert occupied > 0, "preloaded world grids are empty"
     # known-map lanes never accumulate frames -> zero dropped telemetry
     assert mapper.dropped_point_count() == 0
+
+
+def test_episodic_eval_with_videos_writes_files(trained):
+    """VIDEO_OPTION=['disk'] drives the full qualitative-eval surface:
+    TopDownMapVLNCE measure + frame composition with occupancy/semantic
+    map panels + metric-stamped video files (reference
+    base_il_trainer.py:476-486, habitat_extensions/utils.py:103-143)."""
+    tmp_path, config, ckpts = trained
+    config = config.clone()
+    config.defrost()
+    config.IL.ckpt_to_load = ckpts[0]
+    config.EVAL_CKPT_PATH_DIR = ckpts[0]
+    config.TASK_CONFIG.ENVIRONMENT.ITERATIVE.ENABLED = False
+    config.ENV_NAME = "VLNCEDaggerEnv"
+    config.VIDEO_OPTION = ["disk"]
+    config.VIDEO_DIR = str(tmp_path / "videos")
+    config.EVAL.EPISODE_COUNT = 1
+    config.freeze()
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer.eval()
+
+    videos = glob.glob(str(tmp_path / "videos" / "*"))
+    assert videos, "video eval wrote no files"
+    # metric-stamped filename (utils.py:103-143 naming convention)
+    assert any("episode" in os.path.basename(v) for v in videos), videos
+    assert os.path.getsize(videos[0]) > 0
