@@ -259,9 +259,19 @@ def mapper_step(
     if update_world:
         # flush BEFORE the merge whenever the incoming frame could
         # overflow the list (merge_points_into_list truncates to M, so
-        # this is the invariant that makes truncation safe)
+        # this is the invariant that makes truncation safe). Size the
+        # frame from the ACTUAL depth tensor, not the configured camera
+        # dims — a sensor/config resolution mismatch must not shrink the
+        # safety margin silently (both are static at trace time)
         m = state.lcell.shape[1]
-        do_flush = jnp.any(state.fill > m - params.frame_points)
+        n_frame = depth.shape[1] * depth.shape[2]
+        if n_frame > m:
+            raise ValueError(
+                f"mapper_step: depth frame has {n_frame} points but the "
+                f"compact list holds only {m}; raise "
+                "MapperParams.list_capacity (TPU.mapper_list_capacity)"
+            )
+        do_flush = jnp.any(state.fill > m - n_frame)
         state = jax.lax.cond(
             do_flush, _flush_list, lambda s: s, state
         )

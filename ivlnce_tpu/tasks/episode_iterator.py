@@ -99,6 +99,22 @@ class TourBasedEpisodeIterator:
             if specify_episode_order
             else None
         )
+        if self._rank is not None:
+            # tour membership is invariant, so validate ONCE here (a real
+            # exception, not an assert: it must survive python -O) rather
+            # than per cycle: every episode must appear in the tours
+            # file, and one tour's members must share one ordered list
+            groups: Dict[int, List] = defaultdict(list)
+            for e in episodes:
+                groups[int(e.tour_id)].append(e)
+            for tid, tour in groups.items():
+                whence = {self._pinned_rank(e)[0] for e in tour}
+                if len(whence) != 1:
+                    raise ValueError(
+                        f"tour {tid} spans {len(whence)} ordered tours in "
+                        "the tours file; its episodes cannot be totally "
+                        "ordered"
+                    )
 
         self.episodes: List = self._arrange(list(episodes))
         self._cursor = 0
@@ -137,12 +153,8 @@ class TourBasedEpisodeIterator:
             if self._shuffle_episodes:
                 random.shuffle(tour)
             if self._rank is not None:
+                # membership validated once in __init__
                 tour.sort(key=self._pinned_rank)
-                whence = {self._pinned_rank(e)[0] for e in tour}
-                assert len(whence) == 1, (
-                    f"tour {tid} spans {len(whence)} ordered tours in the "
-                    "tours file; its episodes cannot be totally ordered"
-                )
         return [e for tid in tour_ids for e in groups[tid]]
 
     def _resolve_rank_index(self, episode_order: Dict) -> Dict:

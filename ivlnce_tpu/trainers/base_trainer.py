@@ -605,26 +605,29 @@ class BaseVLNCETrainer:
     def _data_parallel_devices(self, n_lanes: int) -> int:
         """Data-axis size for the IL update: TPU.data_parallel_devices
         (1 = off, N = use up to N devices, -1 = all available), capped by
-        the devices present and required to divide the lane count so the
-        batch shards evenly (uneven lanes fall back to single-device with
-        a warning rather than erroring mid-train)."""
+        the devices present and by divisibility — the batch must shard
+        evenly, so the LARGEST device count <= the cap that divides the
+        lane count is used (the default IL.batch_size=5 on an 8-device
+        host still engages 5-way data parallelism rather than silently
+        running single-device)."""
         want = self.config.TPU.data_parallel_devices
         if want in (0, 1):
             return 1
         avail = jax.device_count()
         n = avail if want < 0 else min(want, avail)
-        if n > 1 and n_lanes % n != 0:
-            # evaluated per update: warn once per distinct lane count,
-            # not on every batch
+        full = n
+        while n > 1 and n_lanes % n != 0:
+            n -= 1
+        if n < full:
+            # evaluated per update: warn once per distinct lane count
             warned = getattr(self, "_dp_warned_lanes", set())
             if n_lanes not in warned:
                 warned.add(n_lanes)
                 self._dp_warned_lanes = warned
                 logger.warning(
-                    f"data-parallel train step disabled: batch lanes "
-                    f"({n_lanes}) not divisible by device count ({n})"
+                    f"data-parallel IL update using {n}/{full} devices: "
+                    f"batch lanes ({n_lanes}) not divisible by {full}"
                 )
-            return 1
         return n
 
     def _train_step_fn(self, n_lanes: int):

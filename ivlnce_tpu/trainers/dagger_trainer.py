@@ -44,6 +44,38 @@ def _block_shuffle(lst: List, block_size: int, rng=None) -> List:
     return [ele for block in blocks for ele in block]
 
 
+# -- shared sampling recipe (serial IWTrajectoryDataset + decode workers) ----
+# ONE implementation of the window ordering (length sort with a shuffled
+# tiebreak, then batch-block shuffle — dagger_trainer.py:196-216) and of
+# the per-record sample construction (inflection weighting, :218-233),
+# so IL.decode_workers>0 trains on identically-prepared data as the
+# serial path.
+
+def _window_order(lengths: List[int], batch_size: int, rng=None) -> List[int]:
+    sort_priority = list(range(len(lengths)))
+    (rng or random).shuffle(sort_priority)
+    sorted_ordering = sorted(
+        range(len(lengths)), key=lambda k: (lengths[k], sort_priority[k])
+    )
+    return _block_shuffle(sorted_ordering, batch_size, rng=rng)
+
+
+def _make_sample(record: Tuple, inflec_weights: np.ndarray) -> Tuple:
+    obs, prev_actions, oracle_actions = record
+    obs = {k: np.asarray(v) for k, v in obs.items()}
+    prev_actions = np.asarray(prev_actions)
+    oracle_actions = np.asarray(oracle_actions)
+    inflections = np.concatenate(
+        [[1], (oracle_actions[1:] != oracle_actions[:-1]).astype(np.int64)]
+    )
+    return (
+        obs,
+        prev_actions,
+        oracle_actions,
+        np.asarray(inflec_weights)[inflections],
+    )
+
+
 # per-process store handle for the decode workers (one open per worker
 # process, reused across its windows)
 _worker_store_cache: Dict[str, "TrajectoryStore"] = {}
@@ -51,11 +83,11 @@ _worker_store_cache: Dict[str, "TrajectoryStore"] = {}
 
 def _decode_window(task) -> List[Tuple]:
     """Decode + collate one preload window in a worker process
-    (utils/prefetch.ProcessWindowIterator). Mirrors the in-process path:
-    length-sort with a seeded tiebreak shuffle, batch-block shuffle, then
-    collate consecutive batch_size samples (drop_last inside the window —
-    windows are batch_size-divisible except the epoch tail, identical to
-    the serial path's end-of-epoch drop)."""
+    (utils/prefetch.ProcessWindowIterator). Uses the same _window_order /
+    _make_sample recipe as the serial path (seeded rng), then collates
+    consecutive batch_size samples (drop_last inside the window — windows
+    are batch_size-divisible except the epoch tail, identical to the
+    serial path's end-of-epoch drop)."""
     store_path, keys, seed, batch_size, inflec_weights = task
     store = _worker_store_cache.get(store_path)
     if store is None:
@@ -64,27 +96,8 @@ def _decode_window(task) -> List[Tuple]:
     rng = random.Random(seed)
 
     raw = [store.get(k) for k in keys]
-    lengths = [len(r[1]) for r in raw]
-    sort_priority = list(range(len(lengths)))
-    rng.shuffle(sort_priority)
-    sorted_ordering = sorted(
-        range(len(lengths)), key=lambda k: (lengths[k], sort_priority[k])
-    )
-    order = _block_shuffle(sorted_ordering, batch_size, rng=rng)
-
-    weights = np.asarray(inflec_weights)
-    samples = []
-    for idx in order:
-        obs, prev_actions, oracle_actions = raw[idx]
-        obs = {k: np.asarray(v) for k, v in obs.items()}
-        prev_actions = np.asarray(prev_actions)
-        oracle_actions = np.asarray(oracle_actions)
-        inflections = np.concatenate(
-            [[1], (oracle_actions[1:] != oracle_actions[:-1]).astype(np.int64)]
-        )
-        samples.append(
-            (obs, prev_actions, oracle_actions, weights[inflections])
-        )
+    order = _window_order([len(r[1]) for r in raw], batch_size, rng=rng)
+    samples = [_make_sample(raw[idx], inflec_weights) for idx in order]
     return [
         collate_fn(samples[i:i + batch_size])
         for i in range(0, len(samples) - batch_size + 1, batch_size)
@@ -196,30 +209,12 @@ class IWTrajectoryDataset:
                 )
                 lengths.append(len(new_preload[-1][1]))
 
-            sort_priority = list(range(len(lengths)))
-            random.shuffle(sort_priority)
-            sorted_ordering = sorted(
-                range(len(lengths)),
-                key=lambda k: (lengths[k], sort_priority[k]),
-            )
-            for idx in _block_shuffle(sorted_ordering, self.batch_size):
+            for idx in _window_order(lengths, self.batch_size):
                 self._preload.append(new_preload[idx])
         return self._preload.pop()
 
     def __next__(self):
-        obs, prev_actions, oracle_actions = self._load_next()
-        obs = {k: np.asarray(v) for k, v in obs.items()}
-        prev_actions = np.asarray(prev_actions)
-        oracle_actions = np.asarray(oracle_actions)
-        inflections = np.concatenate(
-            [[1], (oracle_actions[1:] != oracle_actions[:-1]).astype(np.int64)]
-        )
-        return (
-            obs,
-            prev_actions,
-            oracle_actions,
-            self.inflec_weights[inflections],
-        )
+        return _make_sample(self._load_next(), self.inflec_weights)
 
     def batches(self) -> Iterator[Tuple]:
         """Yield collated full batches (drop_last=True like the
@@ -237,18 +232,16 @@ class IWTrajectoryDataset:
     def batches_parallel(self, workers: int, depth: int = 4):
         """Collated batches with store read + msgpack decode + collate
         running in ``workers`` processes (the reference's DataLoader
-        num_workers equivalent, dagger_trainer.py:568-576). Window
-        ordering matches batches(); within a window the decode worker
-        applies the same length-sort/block-shuffle with a seeded rng.
-        Returns a context-manager iterator (close() terminates workers)."""
+        num_workers equivalent, dagger_trainer.py:568-576). Windows use
+        the same _window_order/_make_sample recipe as batches() with a
+        seeded rng; traversal ORDER differs from the serial path (which
+        reverses for O(1) pop()) — both are shuffles of the same window
+        partition, like the reference's worker sharding. Returns a
+        context-manager iterator (close() terminates workers)."""
         from ivlnce_tpu.utils.prefetch import ProcessWindowIterator
 
-        ordering = list(
-            reversed(
-                _block_shuffle(
-                    list(range(self.start, self.length)), self.preload_size
-                )
-            )
+        ordering = _block_shuffle(
+            list(range(self.start, self.length)), self.preload_size
         )
         windows = [
             ordering[i:i + self.preload_size]

@@ -32,30 +32,29 @@ class PrefetchIterator:
         )
         self._thread.start()
 
+    def _put_unless_closed(self, item) -> bool:
+        """Timed put that gives up when the consumer closed: an abandoned
+        consumer (break/exception mid-epoch) leaves the queue full
+        forever, so re-check _done between attempts instead of blocking —
+        the producer exits rather than leaking a thread that pins the
+        underlying batch iterator (ADVICE r2)."""
+        while not self._done.is_set():
+            try:
+                self._q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self, it: Iterator[T]) -> None:
         try:
             for item in it:
-                # timed put: an abandoned consumer (break/exception
-                # mid-epoch) leaves the queue full forever; re-checking
-                # _done lets the producer exit instead of leaking a
-                # thread pinning the underlying batch iterator (ADVICE r2)
-                while not self._done.is_set():
-                    try:
-                        self._q.put(item, timeout=0.25)
-                        break
-                    except queue.Full:
-                        continue
-                if self._done.is_set():
+                if not self._put_unless_closed(item):
                     return
         except BaseException as e:  # propagate into the consumer
             self._err = e
         finally:
-            while not self._done.is_set():  # same timed put for the sentinel
-                try:
-                    self._q.put(_SENTINEL, timeout=0.25)
-                    break
-                except queue.Full:
-                    continue
+            self._put_unless_closed(_SENTINEL)
 
     def __iter__(self):
         return self

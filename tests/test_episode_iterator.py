@@ -143,7 +143,7 @@ def test_tour_spanning_two_ordered_lists_rejected():
         ["t0e0", "t0e1"], ["t0e2"],  # tour 0 split across two lists
         ["t2e0", "t2e1", "t2e2", "t2e3"], ["t5e0", "t5e1"], ["t7e0"],
     ]}
-    with pytest.raises(AssertionError, match="spans"):
+    with pytest.raises(ValueError, match="spans"):
         TourBasedEpisodeIterator(
             episodes=_make_episodes(),
             shuffle_tours=False,

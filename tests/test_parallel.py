@@ -133,9 +133,10 @@ def test_trainer_picks_sharded_update_and_matches_single_device(tmp_path):
     assert abs(losses[4] - losses[1]) <= 1e-4 * max(1.0, abs(losses[1]))
 
 
-def test_trainer_dp_falls_back_on_indivisible_lanes(tmp_path):
-    """Lanes not divisible by the device count must fall back to the
-    single-device step (a warning, not an error)."""
+def test_trainer_dp_uses_largest_dividing_device_count(tmp_path):
+    """Lanes not divisible by the full device count shard over the
+    LARGEST dividing count instead of silently dropping to one device
+    (the default IL.batch_size is 5 — it must still engage 5-way DP)."""
     from ivlnce_tpu.config import get_config
     from ivlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
 
@@ -147,6 +148,14 @@ def test_trainer_dp_falls_back_on_indivisible_lanes(tmp_path):
     cfg.EVAL.SAVE_RESULTS = False
     cfg.freeze()
     tr = BaseVLNCETrainer(cfg)
-    assert tr._data_parallel_devices(3) == 1  # 3 % 8 != 0
+    assert tr._data_parallel_devices(3) == 3  # 3 divides 3 <= 8
+    assert tr._data_parallel_devices(5) == 5
+    assert tr._data_parallel_devices(7) == 7
     assert tr._data_parallel_devices(8) == 8
     assert tr._data_parallel_devices(16) == 8
+    assert tr._data_parallel_devices(13) == 1  # prime > 8: nothing divides
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.TPU.data_parallel_devices = 1
+    cfg2.freeze()
+    assert BaseVLNCETrainer(cfg2)._data_parallel_devices(8) == 1  # off
