@@ -691,6 +691,19 @@ class BaseVLNCETrainer:
             rnn_states = self.policy.initial_rnn_states(n)
         if tour_not_done_masks is None:
             tour_not_done_masks = not_done_masks
+
+        def canon_masks(m):
+            # the dagger collate ships masks T-major flattened (T*N, 1);
+            # the mesh-sharded step's specs expect (T, N) — one layout
+            # for both paths (row-major reshape inverts the flatten
+            # exactly; build_distribution accepts either)
+            m = np.asarray(m)
+            if n > 1 and m.shape == (t * n, 1):
+                return m.reshape(t, n)
+            return m
+
+        not_done_masks = canon_masks(not_done_masks)
+        tour_not_done_masks = canon_masks(tour_not_done_masks)
         step = self._train_step_fn(n)
         with profiling.range_context("train_step"):
             (

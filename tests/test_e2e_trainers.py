@@ -251,6 +251,10 @@ def test_episodic_eval_with_videos_writes_files(trained):
     config.ENV_NAME = "VLNCEDaggerEnv"
     config.VIDEO_OPTION = ["disk"]
     config.VIDEO_DIR = str(tmp_path / "videos")
+    # own results dir: the module-shared one already holds the episodic
+    # test's stats JSON, and eval resume-by-skip (reference
+    # base_il_trainer.py:383-390) would skip this checkpoint entirely
+    config.RESULTS_DIR = str(tmp_path / "results_video")
     config.EVAL.EPISODE_COUNT = 1
     config.freeze()
     trainer = registry.get_trainer(config.TRAINER_NAME)(config)

@@ -125,6 +125,21 @@ def test_trainer_picks_sharded_update_and_matches_single_device(tmp_path):
         )
         assert np.isfinite(loss)
         losses[ndp] = loss
+        if ndp == 4:
+            # the dagger collate ships masks T-major flattened (T*N, 1);
+            # the sharded step must accept that layout too (canonicalized
+            # in _update_agent) and produce the identical loss
+            tr2 = BaseVLNCETrainer(cfg)
+            tr2.policy = policy
+            tr2.params = jax.device_put(
+                jax.tree_util.tree_map(np.asarray, init)
+            )
+            tr2.optimizer = optax.adam(1e-3)
+            tr2.opt_state = jax.jit(tr2.optimizer.init)(tr2.params)
+            loss_flat, _, _, _ = tr2._update_agent(
+                obs, prev, masks.reshape(-1, 1), corrected, weights
+            )
+            assert abs(loss_flat - loss) <= 1e-6 * max(1.0, abs(loss))
         if ndp == 4:  # the sharded path really ran over the mesh
             n_dev = len(
                 jax.tree_util.tree_leaves(tr.params)[0].sharding.device_set
