@@ -38,9 +38,16 @@ import numpy as np
 DEPTH_HW = 256
 MAP_HW = 64
 TOKENS = 80
-# historically-best first: the wall-clock budget cuts the tail. 1024+
-# lanes exhaust HBM (the 1024^2 world grid costs 8.4 MB/lane).
-SWEEP_LANES = (768, 512, 384, 256)
+# world grid side per lane (half-res cells, 8 bytes/cell of HBM). The
+# framework auto-sizes this from the dataset's scene geometry
+# (mapping/scene_bounds.py, TPU.world_grid_cells=0); the bench mirrors
+# that with a scene-sized 512-cell grid (25.6 m — the synthetic walk
+# stays within ~12 m of each lane's start; the run asserts ZERO dropped
+# points, so the map content is identical to a 1024 grid). 512 costs
+# 2 MB/lane vs 8.4, unlocking the 1024-lane sweep point.
+GRID_CELLS = int(os.environ.get("IVLNCE_BENCH_GRID", "512"))
+# historically-best first: the wall-clock budget cuts the tail
+SWEEP_LANES = (1024, 768, 512, 384, 256)
 SWEEP_ITERS = 10
 WARMUP = 40
 # long trials + median of 7: the tunnel's throughput wanders on ~minute
@@ -64,6 +71,55 @@ PEAK_BF16 = {
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# Last-good sidecar: when the axon tunnel is down for an entire round
+# (observed 2026-08-17, 6+ h outage — BENCH_r03.json is an error record),
+# the driver should receive the most recent real measurement marked
+# stale, not value 0.0 with no memory.
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bench_last_good.json"
+)
+
+
+def _save_last_good(record: dict) -> None:
+    try:
+        meta = dict(record)
+        meta["measured_at_unix"] = time.time()
+        meta["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        try:
+            import subprocess
+
+            meta["git_commit"] = (
+                subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    timeout=10,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                .stdout.decode()
+                .strip()
+                or None
+            )
+        except Exception:
+            meta["git_commit"] = None
+        os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
+        tmp = LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, LAST_GOOD_PATH)
+    except Exception as e:  # never let bookkeeping break the bench
+        log(f"last-good save failed: {e}")
+
+
+def _load_last_good() -> "dict | None":
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 # -----------------------------------------------------------------------------
@@ -119,7 +175,7 @@ class TpuPipeline:
             map_height_meters=6.4,
             map_width_meters=6.4,
             resolution_meters=0.1,
-            grid_cells=1024,
+            grid_cells=GRID_CELLS,
             window_cells=192,
         )
         mstate = M.init_state(b, mp.grid_cells)
@@ -204,10 +260,13 @@ class TpuPipeline:
         def sync():
             np.asarray(state["prev"][0, 0])
 
-        return step, sync
+        def dropped():
+            return int(np.asarray(state["mstate"].dropped).sum())
+
+        return step, sync, dropped
 
     def measure(self, b, warmup, iters, trials):
-        step, sync = self.build(b)
+        step, sync, dropped = self.build(b)
         t0 = time.time()
         step()
         sync()
@@ -228,6 +287,16 @@ class TpuPipeline:
             log(
                 f"B={b} trial{t}: {rates[-1]:.1f} steps/s "
                 f"({dt / iters * 1000:.1f} ms/step-batch)"
+            )
+        # the scene-sized grid claim (GRID_CELLS) holds only if no map
+        # point ever left the extent — a drop means the workload and a
+        # full-size grid diverged, so fail LOUDLY rather than report a
+        # number for a different computation
+        n_dropped = dropped()
+        if n_dropped > 0:
+            raise RuntimeError(
+                f"B={b}: {n_dropped} map points fell outside the "
+                f"{GRID_CELLS}-cell world grid — raise IVLNCE_BENCH_GRID"
             )
         return np.array(rates)
 
@@ -561,18 +630,46 @@ def main():
         tpu = bench_tpu()
     except Exception as e:
         # the driver must ALWAYS get one JSON line, even with the device
-        # unreachable — emit an explicit error record instead of hanging
+        # unreachable. Degrade to the last successful measurement marked
+        # stale; only with no history emit an explicit error record.
         log(f"bench_tpu failed: {type(e).__name__}: {e}")
-        print(
-            json.dumps(
-                {
-                    "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": f"ERROR: {type(e).__name__}: {e}",
-                    "vs_baseline": None,
-                }
+        cached = _load_last_good()
+        if cached is not None and cached.get("value"):
+            out = {
+                "metric": cached.get(
+                    "metric", "mapcma_pipeline_env_steps_per_sec_per_chip"
+                ),
+                "value": cached["value"],
+                "unit": (
+                    f"STALE (device unreachable this run: "
+                    f"{type(e).__name__}) — last good "
+                    f"{cached.get('measured_at', '?')} @ commit "
+                    f"{cached.get('git_commit', '?')}: "
+                    f"{cached.get('unit', '')}"
+                ),
+                "vs_baseline": cached.get("vs_baseline"),
+                "stale": True,
+                "measured_at": cached.get("measured_at"),
+                "outage": f"{type(e).__name__}: {e}",
+            }
+            for k in ("mfu", "lanes", "trial_spread", "device"):
+                if k in cached:
+                    out[k] = cached[k]
+            print(json.dumps(out))
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "mapcma_pipeline_env_steps_per_sec_per_chip"
+                        ),
+                        "value": 0.0,
+                        "unit": f"ERROR: {type(e).__name__}: {e}",
+                        "vs_baseline": None,
+                        "stale": True,
+                    }
+                )
             )
-        )
         return
     try:
         torch_sps = bench_torch(TORCH_B)
@@ -580,28 +677,26 @@ def main():
         log(f"torch baseline failed: {e}")
         torch_sps = None
     vs = tpu["steps_per_sec"] / torch_sps if torch_sps else None
-    print(
-        json.dumps(
-            {
-                "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
-                "value": round(tpu["steps_per_sec"], 2),
-                "unit": (
-                    f"env steps/s (B={tpu['lanes']} lanes; mapper+"
-                    f"encoders+policy; median of {tpu['trials']} trials, "
-                    f"{tpu['spread_kind']} spread "
-                    f"{tpu['trial_spread']:.2f})"
-                ),
-                "vs_baseline": round(vs, 2) if vs else None,
-                "mfu": round(tpu["mfu"], 5) if tpu["mfu"] else None,
-                "lanes": tpu["lanes"],
-                "trial_spread": round(tpu["trial_spread"], 3),
-                "torch_cpu_steps_per_sec": (
-                    round(torch_sps, 2) if torch_sps else None
-                ),
-                "device": tpu["device"],
-            }
-        )
-    )
+    record = {
+        "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
+        "value": round(tpu["steps_per_sec"], 2),
+        "unit": (
+            f"env steps/s (B={tpu['lanes']} lanes; mapper+"
+            f"encoders+policy; median of {tpu['trials']} trials, "
+            f"{tpu['spread_kind']} spread "
+            f"{tpu['trial_spread']:.2f})"
+        ),
+        "vs_baseline": round(vs, 2) if vs else None,
+        "mfu": round(tpu["mfu"], 5) if tpu["mfu"] else None,
+        "lanes": tpu["lanes"],
+        "trial_spread": round(tpu["trial_spread"], 3),
+        "torch_cpu_steps_per_sec": (
+            round(torch_sps, 2) if torch_sps else None
+        ),
+        "device": tpu["device"],
+    }
+    print(json.dumps(record))
+    _save_last_good(record)
 
 
 if __name__ == "__main__":

@@ -176,8 +176,19 @@ _C.TPU.compute_dtype = "float32"
 # N = shard batch lanes over up to N devices, -1 = all local devices.
 # Auto-falls back to single-device when lanes don't divide evenly.
 _C.TPU.data_parallel_devices = -1
-# world voxel grid per lane: cells at half map resolution (power of two)
+# world voxel grid per lane: cells at half map resolution. 0 = auto-size
+# from the dataset split's scene geometry AND center each lane's grid on
+# its scene (mapping/scene_bounds.py) — the dense grid is 8 bytes/cell/
+# lane of HBM, so scene-sized grids unlock higher lane counts
 _C.TPU.world_grid_cells = 1024
+# auto-sizing margin beyond the episodes' recorded positions (walls and
+# furniture seen by the depth camera extend past the navigable paths);
+# undersizing is surfaced by the dropped-point telemetry, never silent
+_C.TPU.world_grid_margin_meters = 5.0
+# known-map preload buffer (points/lane). Scene clouds larger than this
+# are truncated WITH a logged warning (the reference loads whole npz
+# files, mapper.py:283-294); raise it for big production MP3D scenes
+_C.TPU.known_map_max_points = 2 ** 18
 # mapper compact-list capacity (entries/lane); 0 = auto (2x the depth
 # frame, the safe default). Smaller values shrink the per-step sort
 # volume (the fused step's dominant cost) but flush to the dense grid

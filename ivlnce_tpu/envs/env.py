@@ -75,7 +75,12 @@ class Env:
         self.sensors = build_sensors(
             list(config.TASK.SENSORS), self.sim, config
         )
-        self.sensors.append(InstructionSensor())
+        # the tokenized-instruction sensor belongs to the R2R task only;
+        # RxR tasks read TASK.INSTRUCTION_SENSOR_UUID=rxr_instruction and
+        # ship precomputed BERT features instead (RxR episodes carry no
+        # token lists, reference task.py:24-35 / sensors.py:118-158)
+        if config.TASK.INSTRUCTION_SENSOR_UUID == "instruction":
+            self.sensors.append(InstructionSensor())
         self.measurements = build_measurements(
             list(config.TASK.MEASUREMENTS), self.sim, config
         )

@@ -106,8 +106,13 @@ class Semantic12Mapping:
         ids = np.asarray(instance_frame)
         if ids.ndim == 3:
             ids = ids[..., 0]
-        ids = np.clip(ids, 0, self._lut.shape[0] - 1).astype(np.int64)
-        return self._lut[ids][..., None]
+        size = self._lut.shape[0]
+        safe = np.clip(ids, 0, size - 1).astype(np.int64)
+        labels = self._lut[safe]
+        # ids beyond the annotation table are VOID, never the last LUT
+        # entry's label (the reference hard-KeyErrors on unknown ids,
+        # sensors.py:308-310; void is the lenient equivalent)
+        return np.where(ids < size, labels, np.uint8(0))[..., None]
 
 
 def _sensor_specs(sim_config):

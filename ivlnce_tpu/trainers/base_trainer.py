@@ -138,6 +138,16 @@ class BaseVLNCETrainer:
         self._jit_cache: Dict[str, Any] = {}
         self._make_dirs()
 
+    def _extract_tokens(self, observations):
+        """extract_instruction_tokens under the task's configured uuid
+        (reference base_il_trainer.py:420 — RxR tasks set
+        TASK.INSTRUCTION_SENSOR_UUID=rxr_instruction, whose precomputed
+        feature arrays pass through untouched)."""
+        return extract_instruction_tokens(
+            observations,
+            self.config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
+        )
+
     # -- dirs ------------------------------------------------------------------
     def _make_dirs(self) -> None:
         os.makedirs(self.config.CHECKPOINT_FOLDER, exist_ok=True)
@@ -484,6 +494,15 @@ class BaseVLNCETrainer:
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
+        if transform is not None:
+            # BEFORE the wire obs: host_prepare may synthesize wire keys
+            # (scene_center) besides allocating state / preloading maps
+            transform.host_prepare(
+                batch,
+                np.asarray(reset_masks).reshape(-1),
+                rows=rows,
+                num_rows=self._num_rows,
+            )
         dobs = self._wire_device_obs(batch, transform)
         # pad masks with 0: dead rows stay reset and their prev-action
         # embedding indexes the masked slot
@@ -499,12 +518,6 @@ class BaseVLNCETrainer:
                     key_data,
                 )
         else:
-            transform.host_prepare(
-                batch,
-                np.asarray(reset_masks).reshape(-1),
-                rows=rows,
-                num_rows=self._num_rows,
-            )
             fused = self._fused_act_fn(transform, iterative)
             reset_full = self._expand_rows(
                 np.asarray(reset_masks, np.float32).reshape(-1, 1)
@@ -888,7 +901,7 @@ class BaseVLNCETrainer:
         not_done_masks = np.zeros((envs.num_envs, 1), np.uint8)
 
         observations = envs.reset()
-        observations = extract_instruction_tokens(observations)
+        observations = self._extract_tokens(observations)
         batch = batch_obs(observations)
 
         stats_episodes: Dict[str, Dict] = {}
@@ -988,7 +1001,7 @@ class BaseVLNCETrainer:
                     rgb_frames[i] = []
 
             with profiling.wall_range("batch_obs"):
-                observations = extract_instruction_tokens(observations)
+                observations = self._extract_tokens(observations)
                 batch = batch_obs(observations)
 
             next_episodes = self._current_episode_info(envs)
@@ -1073,7 +1086,7 @@ class BaseVLNCETrainer:
         action_masks = np.ones((envs.num_envs, 1), np.uint8)
 
         observations, _, _ = (list(x) for x in zip(*envs.reset()))
-        observations = extract_instruction_tokens(observations)
+        observations = self._extract_tokens(observations)
         batch = batch_obs(observations)
 
         stats_tours: Dict[str, Dict] = defaultdict(dict)
@@ -1207,7 +1220,7 @@ class BaseVLNCETrainer:
                 prev_actions[i] = 0
 
             with profiling.wall_range("batch_obs"):
-                observations = extract_instruction_tokens(observations)
+                observations = self._extract_tokens(observations)
                 batch = batch_obs(observations)
 
             next_episodes = self._current_episode_info(envs)

