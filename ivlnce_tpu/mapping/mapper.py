@@ -213,9 +213,11 @@ def _world_cells(
     return r, c
 
 
-def _grid_origin_for(pose: jnp.ndarray, params: "MapperParams") -> jnp.ndarray:
-    """(B, 2) grid origin cells centering the grid on the given pose."""
-    r, c = _world_cells(pose[:, 0], pose[:, 2], params.half_res)
+def _grid_origin_for(
+    x_m: jnp.ndarray, z_m: jnp.ndarray, params: "MapperParams"
+) -> jnp.ndarray:
+    """(B, 2) grid origin cells centering the grid on world (x, z)."""
+    r, c = _world_cells(x_m, z_m, params.half_res)
     half = params.grid_cells // 2
     return jnp.stack([r - half, c - half], axis=-1)
 
@@ -231,12 +233,18 @@ def mapper_step(
     heading: Optional[jnp.ndarray],  # (B,), or None with (B, 2) above
     not_done_masks: jnp.ndarray,  # (B,) 0 clears the lane's world state
     update_world: bool = True,
+    scene_center: Optional[jnp.ndarray] = None,  # (B, 2) world (x, z)
 ) -> Tuple[MapperState, jnp.ndarray, jnp.ndarray]:
     """One mapping step: returns (state, occupancy_map, semantic_map),
     maps are (B, rows, cols) uint8.
 
     ``update_world=False`` skips the frame accumulation (known-map mode,
     where the world grid is preloaded, reference mapper.py:851-881).
+
+    ``scene_center`` (when given) centers each lane's grid on its scene
+    instead of the robot's start pose (mapping/scene_bounds.py): the
+    scene-sized auto grid then covers the scene regardless of where the
+    episode starts, halving the extent a start-centered grid would need.
 
     Input massaging (trailing depth channel, orientation split) happens
     INSIDE the jit: a single eager slice per step costs ~1 s through the
@@ -251,8 +259,14 @@ def mapper_step(
     keep = not_done_masks.astype(bool)
     state = clear_lanes(state, keep)
 
-    # establish per-lane grid origin on (re)start: center grid on robot
-    new_origin = _grid_origin_for(pose, params)
+    # establish per-lane grid origin on (re)start: center the grid on
+    # the scene when its bounds are known, else on the robot
+    if scene_center is not None:
+        new_origin = _grid_origin_for(
+            scene_center[:, 0], scene_center[:, 1], params
+        )
+    else:
+        new_origin = _grid_origin_for(pose[:, 0], pose[:, 2], params)
     origin = jnp.where(state.origin_set[:, None], state.origin, new_origin)
     state = state._replace(origin=origin, origin_set=jnp.ones((b,), bool))
 
@@ -520,7 +534,11 @@ def load_points_into_state(
     SemanticPointcloud.from_npz_file, mapper.py:283-294)."""
     b, n, _ = xyz.shape
     # (re)center the grid on the episode start pose for loaded lanes
-    new_origin = _grid_origin_for(origin_pose, params)
+    # (obs_transforms substitutes the scene center into this pose's
+    # (x, z) when scene bounds are known)
+    new_origin = _grid_origin_for(
+        origin_pose[:, 0], origin_pose[:, 2], params
+    )
     load = lane_mask
     state = clear_lanes(state, ~load)
     origin = jnp.where(load[:, None], new_origin, state.origin)
