@@ -25,11 +25,19 @@ Measurement discipline (learned the hard way on the axon tunnel):
   metric, so the throughput-optimal batch is the right operating point);
 - an MFU estimate comes from XLA's cost analysis over the fused step.
 
-Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+Driver contract (hardened after BENCH_r04 rc=124/parsed=null): stdout
+carries ONLY JSON record lines — a provisional record as soon as the
+first sweep median exists, re-printed on every improvement, and the
+final record last (the driver parses the LAST line). A SIGTERM/atexit
+flush re-emits the current best-so-far (or the stale sidecar record if
+nothing was measured yet), so killing this process at ANY moment still
+leaves a valid final JSON line. Diagnostics go to stderr.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -46,8 +54,11 @@ TOKENS = 80
 # points, so the map content is identical to a 1024 grid). 512 costs
 # 2 MB/lane vs 8.4, unlocking the 1024-lane sweep point.
 GRID_CELLS = int(os.environ.get("IVLNCE_BENCH_GRID", "512"))
-# historically-best first: the wall-clock budget cuts the tail
-SWEEP_LANES = (1024, 768, 512, 384, 256)
+# PROVEN point first (VERDICT r4 weak #2): B=768 has won every phase
+# profile; B=1024 measured ~1.5x worse per lane in r4 and only runs
+# after the established points. The budget skip rule cuts the tail, so
+# the order is also the priority order.
+SWEEP_LANES = (768, 512, 1024, 384, 256)
 SWEEP_ITERS = 10
 WARMUP = 40
 # long trials + median of 7: the tunnel's throughput wanders on ~minute
@@ -73,53 +84,203 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-# Last-good sidecar: when the axon tunnel is down for an entire round
+# Measurement sidecar: when the axon tunnel is down for an entire round
 # (observed 2026-08-17, 6+ h outage — BENCH_r03.json is an error record),
 # the driver should receive the most recent real measurement marked
-# stale, not value 0.0 with no memory.
+# stale, not value 0.0 with no memory. The sidecar keeps BOTH the
+# ``latest`` completed record and the ``best`` ever measured (VERDICT r4
+# weak #4: an unconditional last-good overwrite let a degraded 3.4x run
+# silently replace the 9.49x record) — outage fallback replays ``best``,
+# and a completed run landing >25% below ``best`` gets an explicit
+# ``regression_vs_best`` field instead of quietly becoming the new
+# normal.
 LAST_GOOD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "bench_last_good.json"
 )
 
 
-def _save_last_good(record: dict) -> None:
+def _stamp(record: dict) -> dict:
+    meta = dict(record)
+    meta["measured_at_unix"] = time.time()
+    meta["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
-        meta = dict(record)
-        meta["measured_at_unix"] = time.time()
-        meta["measured_at"] = time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-        )
-        try:
-            import subprocess
+        import subprocess
 
-            meta["git_commit"] = (
-                subprocess.run(
-                    ["git", "rev-parse", "--short", "HEAD"],
-                    capture_output=True,
-                    timeout=10,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                .stdout.decode()
-                .strip()
-                or None
+        meta["git_commit"] = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-        except Exception:
-            meta["git_commit"] = None
+            .stdout.decode()
+            .strip()
+            or None
+        )
+    except Exception:
+        meta["git_commit"] = None
+    return meta
+
+
+def _load_sidecar() -> "dict | None":
+    """{"latest": rec, "best": rec} — a legacy flat record (pre-r5
+    format) is promoted to both roles."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            data = json.load(f)
+    except Exception:
+        return None
+    if not isinstance(data, dict):
+        return None
+    if "latest" in data or "best" in data:
+        return data
+    if data.get("value"):  # legacy single-record file
+        return {"latest": data, "best": data}
+    return None
+
+
+def _save_sidecar(record: dict) -> "dict | None":
+    """Persist a completed measurement; returns the updated sidecar."""
+    try:
+        meta = _stamp(record)
+        data = _load_sidecar() or {}
+        data["latest"] = meta
+        best = data.get("best")
+        if not best or (meta.get("value") or 0) >= (best.get("value") or 0):
+            data["best"] = meta
         os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
         tmp = LAST_GOOD_PATH + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
+            json.dump(data, f)
         os.replace(tmp, LAST_GOOD_PATH)
+        return data
     except Exception as e:  # never let bookkeeping break the bench
-        log(f"last-good save failed: {e}")
-
-
-def _load_last_good() -> "dict | None":
-    try:
-        with open(LAST_GOOD_PATH) as f:
-            return json.load(f)
-    except Exception:
+        log(f"sidecar save failed: {e}")
         return None
+
+
+# -----------------------------------------------------------------------------
+# Driver-facing reporting (VERDICT r4 weak #1: the JSON line printed only
+# at the very end of main(), so the driver's own timeout -> rc=124 ->
+# parsed=null; the round's measurements were lost)
+# -----------------------------------------------------------------------------
+class Reporter:
+    """Owns stdout. Emits a JSON record line on every improvement (the
+    driver parses the LAST line) and guarantees — via a SIGTERM handler
+    and an atexit hook holding pre-serialized bytes — that killing the
+    process at ANY moment still leaves a valid record as the last stdout
+    line. Until the first real measurement lands, the guaranteed record
+    is the sidecar ``best`` marked stale (or an explicit error record)."""
+
+    def __init__(self):
+        self._final_done = False
+        self._flushed = False
+        cached = (_load_sidecar() or {}).get("best")
+        if cached and cached.get("value"):
+            fallback = _make_stale_record(
+                cached, "killed before any measurement completed this run"
+            )
+        else:
+            fallback = {
+                "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "ERROR: killed before any measurement "
+                "completed and no sidecar history exists",
+                "vs_baseline": None,
+                "stale": True,
+            }
+        self._pending = (json.dumps(fallback) + "\n").encode()
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+        atexit.register(self._flush)
+
+    def provisional(self, record: dict) -> None:
+        """Print an intermediate record NOW and arm it as the
+        kill-flush payload. Records are cumulative-best by contract:
+        callers only pass improvements."""
+        rec = dict(record)
+        rec["provisional"] = True
+        line = json.dumps(rec)
+        print(line, flush=True)
+        # the armed payload no longer needs re-printing on a clean exit,
+        # only on a kill — but re-printing it is harmless (last line
+        # still parses), so keep the simple always-flush-if-not-final
+        self._pending = (line + "\n").encode()
+
+    def final(self, record: dict) -> None:
+        print(json.dumps(record), flush=True)
+        self._final_done = True
+        atexit.unregister(self._flush)
+
+    # --- kill paths -------------------------------------------------
+    def _flush(self):
+        if self._final_done or self._flushed:
+            return
+        self._flushed = True
+        try:
+            os.write(1, self._pending)
+        except OSError:
+            pass
+
+    def _on_sigterm(self, signum, frame):
+        # async-signal-unsafe work is minimized: the payload is already
+        # serialized; write(2) + _exit are safe
+        self._flush()
+        os._exit(0)
+
+
+def _make_stale_record(cached: dict, outage: str) -> dict:
+    out = {
+        "metric": cached.get(
+            "metric", "mapcma_pipeline_env_steps_per_sec_per_chip"
+        ),
+        "value": cached["value"],
+        "unit": (
+            f"STALE ({outage}) — best known "
+            f"{cached.get('measured_at', '?')} @ commit "
+            f"{cached.get('git_commit', '?')}: {cached.get('unit', '')}"
+        ),
+        "vs_baseline": cached.get("vs_baseline"),
+        "stale": True,
+        "measured_at": cached.get("measured_at"),
+        "outage": outage,
+    }
+    for k in ("mfu", "lanes", "trial_spread", "device"):
+        if k in cached:
+            out[k] = cached[k]
+    return out
+
+
+# -----------------------------------------------------------------------------
+# Transport calibration (VERDICT r4 weak #6: without it, a 2x tunnel
+# slowdown and a 2x code regression are indistinguishable in the
+# artifact). Two numbers characterize the axon tunnel: the sync dispatch
+# floor (round-trip of a trivial jitted op) and H2D upload bandwidth.
+# -----------------------------------------------------------------------------
+def calibrate_transport(jax) -> dict:
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    f(x).block_until_ready()  # compile outside the timed window
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        floors.append((time.perf_counter() - t0) * 1e3)
+    dev = jax.devices()[0]
+    mb = 8
+    host = np.zeros((mb << 20,), np.uint8)
+    bws = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_put(host, dev).block_until_ready()
+        bws.append(mb / (time.perf_counter() - t0))
+    cal = {
+        "dispatch_floor_ms": round(float(np.median(floors)), 3),
+        "upload_mbps": round(float(np.median(bws)), 1),
+    }
+    log(f"transport: {cal}")
+    return cal
 
 
 # -----------------------------------------------------------------------------
@@ -340,7 +501,7 @@ def _init_pipeline_bounded(deadline_s: float) -> "TpuPipeline":
             time.sleep(min(20, max(1, remaining * 0.05)))
 
 
-def bench_tpu():
+def bench_tpu(reporter=None):
     # wall-clock budget: the tunnel's speed varies ~10x between runs and
     # the driver must always receive the JSON line — skip remaining sweep
     # points (and shrink the final measurement) when running long
@@ -348,6 +509,35 @@ def bench_tpu():
     t_start = time.time()
     pipe = _init_pipeline_bounded(t_start + budget_s * 0.4)
     log(f"device: {pipe.device_kind}")
+    transport = calibrate_transport(pipe.jax)
+
+    # vs_baseline for PROVISIONAL records comes from the sidecar's cached
+    # torch measurement (the fresh torch baseline runs only after the TPU
+    # side); the final record replaces it with the fresh number
+    cached = (_load_sidecar() or {}).get("latest") or {}
+    cached_torch = cached.get("torch_cpu_steps_per_sec")
+
+    def emit_provisional(rate, b, rates, note):
+        if reporter is None:
+            return
+        reporter.provisional(
+            {
+                "metric": "mapcma_pipeline_env_steps_per_sec_per_chip",
+                "value": round(rate, 2),
+                "unit": (
+                    f"env steps/s (B={b} lanes; mapper+encoders+policy; "
+                    f"{note}; vs_baseline uses the cached torch-CPU "
+                    f"measurement)"
+                ),
+                "vs_baseline": (
+                    round(rate / cached_torch, 2) if cached_torch else None
+                ),
+                "lanes": b,
+                "trials": len(rates),
+                "device": pipe.device_kind,
+                **transport,
+            }
+        )
 
     # short sweep to find the throughput-optimal lane count (lane counts
     # that exhaust HBM are skipped)
@@ -365,22 +555,49 @@ def bench_tpu():
         log(f"sweep B={b}: {rate:.1f} steps/s")
         if rate > best_rate:
             best_b, best_rate, best_rates = b, rate, rates
+            emit_provisional(
+                rate, b, rates, f"sweep median of {len(rates)}x"
+                f"{SWEEP_ITERS}-iter trials"
+            )
 
+    # final measurement sized from the MEASURED per-iteration cost
+    # (VERDICT r4 weak #1: a fixed trial count at 4.7 s/iter guaranteed
+    # a driver-timeout overrun)
     remaining = budget_s - (time.time() - t_start)
-    if remaining < 120:
-        log("budget exhausted: reporting sweep medians")
+    s_per_iter = best_b / max(best_rate, 1e-9)
+    full_cost = WARMUP * s_per_iter + TRIALS * TRIAL_ITERS * s_per_iter
+    usable = remaining * 0.8
+    if usable < (WARMUP * 0.5 + TRIAL_ITERS) * s_per_iter:
+        log(
+            f"budget exhausted ({remaining:.0f}s left, one trial costs "
+            f"{TRIAL_ITERS * s_per_iter:.0f}s): reporting sweep medians"
+        )
         rates = best_rates
     else:
-        trials = TRIALS if remaining > 900 else (3 if remaining > 400 else 2)
+        trials = int((usable - WARMUP * s_per_iter) // (TRIAL_ITERS * s_per_iter))
+        warmup = WARMUP
+        if trials < 1:
+            warmup = WARMUP // 2
+            trials = 1
+        trials = min(TRIALS, trials)
+        log(
+            f"final: {trials} trials x {TRIAL_ITERS} iters at measured "
+            f"{s_per_iter * 1e3:.0f} ms/iter (est {full_cost:.0f}s full, "
+            f"{usable:.0f}s usable)"
+        )
         try:
             rates = pipe.measure(
-                best_b, warmup=WARMUP, iters=TRIAL_ITERS, trials=trials
+                best_b, warmup=warmup, iters=TRIAL_ITERS, trials=trials
             )
         except Exception as e:
             log(f"final measurement failed ({type(e).__name__}); "
                 "using sweep rates")
             rates = best_rates
     med = float(np.median(rates))
+    if med > best_rate:
+        emit_provisional(
+            med, best_b, rates, f"median of {len(rates)} final trials"
+        )
     # trimmed spread: with >= 5 trials, drop the single fastest and
     # slowest window before computing the range — one transport stall
     # through the tunnel otherwise dominates a statistic meant to
@@ -402,6 +619,7 @@ def bench_tpu():
         "flops_per_step_batch": flops_step,
         "mfu": mfu,
         "device": pipe.device_kind,
+        **transport,
     }
 
 
@@ -626,49 +844,38 @@ def bench_torch(B) -> float:
 
 
 def main():
+    reporter = Reporter()
     try:
-        tpu = bench_tpu()
+        tpu = bench_tpu(reporter)
     except Exception as e:
         # the driver must ALWAYS get one JSON line, even with the device
-        # unreachable. Degrade to the last successful measurement marked
+        # unreachable. Degrade to the BEST successful measurement marked
         # stale; only with no history emit an explicit error record.
         log(f"bench_tpu failed: {type(e).__name__}: {e}")
-        cached = _load_last_good()
+        sidecar = _load_sidecar() or {}
+        cached = sidecar.get("best")
         if cached is not None and cached.get("value"):
-            out = {
-                "metric": cached.get(
-                    "metric", "mapcma_pipeline_env_steps_per_sec_per_chip"
-                ),
-                "value": cached["value"],
-                "unit": (
-                    f"STALE (device unreachable this run: "
-                    f"{type(e).__name__}) — last good "
-                    f"{cached.get('measured_at', '?')} @ commit "
-                    f"{cached.get('git_commit', '?')}: "
-                    f"{cached.get('unit', '')}"
-                ),
-                "vs_baseline": cached.get("vs_baseline"),
-                "stale": True,
-                "measured_at": cached.get("measured_at"),
-                "outage": f"{type(e).__name__}: {e}",
-            }
-            for k in ("mfu", "lanes", "trial_spread", "device"):
-                if k in cached:
-                    out[k] = cached[k]
-            print(json.dumps(out))
+            out = _make_stale_record(
+                cached,
+                f"device unreachable this run: {type(e).__name__}: {e}",
+            )
+            latest = sidecar.get("latest") or {}
+            if latest.get("measured_at_unix") != cached.get(
+                "measured_at_unix"
+            ):
+                out["latest_measured_at"] = latest.get("measured_at")
+            reporter.final(out)
         else:
-            print(
-                json.dumps(
-                    {
-                        "metric": (
-                            "mapcma_pipeline_env_steps_per_sec_per_chip"
-                        ),
-                        "value": 0.0,
-                        "unit": f"ERROR: {type(e).__name__}: {e}",
-                        "vs_baseline": None,
-                        "stale": True,
-                    }
-                )
+            reporter.final(
+                {
+                    "metric": (
+                        "mapcma_pipeline_env_steps_per_sec_per_chip"
+                    ),
+                    "value": 0.0,
+                    "unit": f"ERROR: {type(e).__name__}: {e}",
+                    "vs_baseline": None,
+                    "stale": True,
+                }
             )
         return
     try:
@@ -694,9 +901,29 @@ def main():
             round(torch_sps, 2) if torch_sps else None
         ),
         "device": tpu["device"],
+        "dispatch_floor_ms": tpu.get("dispatch_floor_ms"),
+        "upload_mbps": tpu.get("upload_mbps"),
     }
-    print(json.dumps(record))
-    _save_last_good(record)
+    # a completed measurement well below the best-known one is a
+    # regression and must say so in the artifact (VERDICT r4 weak #4:
+    # the 9.49x -> 3.4x drop went unremarked by the tooling)
+    best = (_load_sidecar() or {}).get("best")
+    if best and best.get("value") and record["value"] < 0.75 * best["value"]:
+        record["regression_vs_best"] = {
+            "best_value": best["value"],
+            "best_lanes": best.get("lanes"),
+            "best_measured_at": best.get("measured_at"),
+            "best_git_commit": best.get("git_commit"),
+            "ratio": round(record["value"] / best["value"], 3),
+        }
+        log(
+            f"WARNING: measured {record['value']} steps/s is "
+            f"{record['regression_vs_best']['ratio']:.0%} of the best "
+            f"known {best['value']} (B={best.get('lanes')}, "
+            f"{best.get('measured_at')}, commit {best.get('git_commit')})"
+        )
+    reporter.final(record)
+    _save_sidecar(record)
 
 
 if __name__ == "__main__":

@@ -406,10 +406,16 @@ def _rasterize_egocentric(
     height argmax — and only THEN applies the map-time height filter, so
     duplicates must be resolved on raw heights BEFORE filtering: a cell
     whose true (higher) winner falls outside the height window is empty
-    in the reference even when a stale lower duplicate would pass. The
-    resolution below gathers each in-window list entry's grid incumbent
-    and keeps the max (incumbent wins ties, like the merge), zeroing the
-    losing window copy — one M-wide gather + where, no extra sort."""
+    in the reference even when a stale lower duplicate would pass.
+
+    The resolution is ONE stable sort of [list, window] by (rel cell,
+    raw key): the LAST entry of each cell run is the max-height point,
+    with the window (grid incumbent) winning equal-key ties because it
+    sorts after the list entry by stability. Sort runs at vector speed
+    on this hardware; the round-4 gather/scatter formulation of the same
+    dedup (an M-wide take_along_axis + an M-slot scatter) was serialized
+    per slot and cost ~3 s/step at B=768 — the entire r4 bench
+    regression (BASELINE.md r5 phase table)."""
     b = pose.shape[0]
     wcells = params.window_cells
     g = params.grid_cells
@@ -428,64 +434,46 @@ def _rasterize_egocentric(
     win_key = slicer(state.key, start_r, start_c).reshape(b, -1)
     win_aux = slicer(state.aux, start_r, start_c).reshape(b, -1)
 
-    # absolute half-res cell coords of every window cell
+    # rel cell ids of every window cell (row-major over the slice)
     wr = jnp.arange(wcells, dtype=jnp.int32)
-    wcell_r = (
-        start_r[:, None] + jnp.repeat(wr, wcells)[None, :]
-        + state.origin[:, 0:1]
-    )
-    wcell_c = (
-        start_c[:, None] + jnp.tile(wr, wcells)[None, :]
-        + state.origin[:, 1:2]
+    wrel = (
+        (start_r[:, None] + jnp.repeat(wr, wcells)[None, :]) * g
+        + (start_c[:, None] + jnp.tile(wr, wcells)[None, :])
     )
 
-    # list entries: rel cell -> absolute (r, c)
+    # candidate set [list, window] keyed by grid-relative cell id;
+    # empties carry LIST_EMPTY so they sort to the end
     lvalid = state.lcell != S.LIST_EMPTY
-    lc = jnp.where(lvalid, state.lcell, 0)
-    lrel_r = lc // g
-    lrel_c = lc % g
-    lcell_r = lrel_r + state.origin[:, 0:1]
-    lcell_c = lrel_c + state.origin[:, 1:2]
-
-    # resolve window/list duplicates of the same world cell on RAW
-    # heights (dedup-then-filter, see docstring): gather each in-window
-    # list entry's grid incumbent, keep the max in the list slot
-    # (incumbent wins ties), and blank the window copy
-    dr = lrel_r - start_r[:, None]
-    dc = lrel_c - start_c[:, None]
-    in_win = (
-        lvalid
-        & (dr >= 0) & (dr < wcells)
-        & (dc >= 0) & (dc < wcells)
+    wvalid = win_key != S.EMPTY_KEY
+    cand_cell = jnp.concatenate(
+        [
+            jnp.where(lvalid, state.lcell, S.LIST_EMPTY),
+            jnp.where(wvalid, wrel, S.LIST_EMPTY),
+        ],
+        axis=1,
     )
-    widx = jnp.where(in_win, dr * wcells + dc, 0)
-    g_key = jnp.take_along_axis(win_key, widx, axis=1)
-    g_aux = jnp.take_along_axis(win_aux, widx, axis=1)
-    grid_wins = in_win & (g_key >= state.lkey)
-    lkey_res = jnp.where(grid_wins, g_key, state.lkey)
-    laux_res = jnp.where(grid_wins, g_aux, state.laux)
-    m = state.lcell.shape[1]
-    bidx = jnp.broadcast_to(
-        jnp.arange(b, dtype=jnp.int32)[:, None], (b, m)
-    )
-    blank = jnp.where(in_win, widx, wcells * wcells)
-    win_key = win_key.at[bidx, blank].set(S.EMPTY_KEY, mode="drop")
+    cand_key = jnp.concatenate([state.lkey, win_key], axis=1)
+    cand_aux = jnp.concatenate([state.laux, win_aux], axis=1)
 
-    # concatenated candidate set: [window, list] — after the resolution
-    # above each world cell appears at most once; remaining equal-key
-    # ties across DIFFERENT world cells resolve to the lowest input
-    # index (any deterministic rule is parity-safe there)
-    cand_key = jnp.concatenate([win_key, lkey_res], axis=1)
-    cand_aux = jnp.concatenate([win_aux, laux_res], axis=1)
-    cand_r = jnp.concatenate([wcell_r, lcell_r], axis=1)
-    cand_c = jnp.concatenate([wcell_c, lcell_c], axis=1)
-    cand_valid = jnp.concatenate(
-        [win_key != S.EMPTY_KEY, lvalid], axis=1
+    # dedup sort (see docstring): last of each cell run = raw-height
+    # winner, incumbent (window) winning ties via stable [list, window]
+    sc_cell, sk, sa = jax.lax.sort(
+        (cand_cell, cand_key, cand_aux), num_keys=2, is_stable=True
     )
+    is_last = jnp.concatenate(
+        [sc_cell[:, :-1] != sc_cell[:, 1:], jnp.ones((b, 1), bool)],
+        axis=1,
+    )
+    cand_valid = is_last & (sc_cell != S.LIST_EMPTY)
 
-    cand_h = S.float_from_sortable(cand_key)
+    # absolute half-res cell coords from the winning entry's cell id
+    safe_cell = jnp.where(cand_valid, sc_cell, 0)
+    cand_r = safe_cell // g + state.origin[:, 0:1]
+    cand_c = safe_cell % g + state.origin[:, 1:2]
+
+    cand_h = S.float_from_sortable(sk)
     cand_x, cand_z, cand_sem = S.unpack_aux(
-        cand_aux, cand_r, cand_c, params.half_res
+        sa, cand_r, cand_c, params.half_res
     )
 
     # map-time height filter (mapper.py:884-901)

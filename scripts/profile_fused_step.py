@@ -44,7 +44,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(b, list_capacity, steps_pool=8, compact="sort"):
+def build(b, list_capacity, steps_pool=8, compact="sort", grid=1024):
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +78,7 @@ def build(b, list_capacity, steps_pool=8, compact="sort"):
         map_height_meters=6.4,
         map_width_meters=6.4,
         resolution_meters=0.1,
-        grid_cells=1024,
+        grid_cells=grid,
         window_cells=192,
         list_capacity=list_capacity,
         compact=compact,
@@ -192,10 +192,13 @@ def time_loop(fn_step, sync, iters, warmup, label):
     return dt
 
 
-def run(b, list_capacity, iters, warmup, phases, compact="sort"):
-    ctx = build(b, list_capacity, compact=compact)
+def run(b, list_capacity, iters, warmup, phases, compact="sort", grid=1024):
+    ctx = build(b, list_capacity, compact=compact, grid=grid)
     pool = ctx["pool"]
-    res = {"lanes": b, "list_capacity": list_capacity, "compact": compact}
+    res = {
+        "lanes": b, "list_capacity": list_capacity, "compact": compact,
+        "grid": grid,
+    }
 
     state = {
         "m": ctx["mstate"], "rnn": ctx["rnn0"], "prev": ctx["prev0"], "i": 0
@@ -228,9 +231,12 @@ def run(b, list_capacity, iters, warmup, phases, compact="sort"):
 
     if phases:
         # fresh state per phase; accumulate a few frames first so the
-        # list has realistic fill for rasterize/flush
+        # list has realistic fill for rasterize/flush. FREE the
+        # full-step state first — two live B-lane grid states OOM'd the
+        # chip at B=768 (r4 session)
         from ivlnce_tpu.mapping import mapper as M
 
+        state["m"] = None
         mst = M.init_state(b, ctx["mp"].grid_cells, list_capacity)
         for i in range(4):
             d, s, p, h = pool[i % len(pool)]
@@ -307,6 +313,11 @@ def main():
         "--compact", nargs="+", default=["sort"],
         choices=["sort", "scatter"],
     )
+    ap.add_argument(
+        "--grid", type=int, nargs="+", default=[1024],
+        help="world grid side(s) in half-res cells; sweeps each "
+        "(the A/B for scene-sized auto grids, BASELINE.md r4)",
+    )
     ap.add_argument("--phases", action="store_true")
     args = ap.parse_args()
 
@@ -318,14 +329,16 @@ def main():
     log(f"device: {jax.devices()[0].device_kind}")
 
     results = []
-    for compact in args.compact:
-        for m in args.list_capacity:
-            results.append(
-                run(
-                    args.lanes, m, args.iters, args.warmup, args.phases,
-                    compact=compact,
+    for grid in args.grid:
+        for compact in args.compact:
+            for m in args.list_capacity:
+                results.append(
+                    run(
+                        args.lanes, m, args.iters, args.warmup,
+                        args.phases, compact=compact, grid=grid,
+                    )
                 )
-            )
+                print(json.dumps(results[-1]), file=sys.stderr, flush=True)
     print(json.dumps(results))
 
 

@@ -47,12 +47,17 @@ def test_wire_keys_map_cma_with_gt_mapper_excludes_rgb():
     from ivlnce_tpu.models.policy import LatentCMAPolicy, MapCMAPolicy
 
     class FakeMapper(GTSemanticsIterativeMapper):
-        def __init__(self):  # skip heavy Mapper init
-            pass
+        def __init__(self):  # skip heavy Mapper init, but give the
+            # property its REAL attribute surface (it reads these)
+            self.known_maps = False
+            self.predicted_semantics = False
+            self.scene_centers = {}
 
     class FakePred(PredictedSemanticsIterativeMapper):
         def __init__(self):
-            pass
+            self.known_maps = False
+            self.predicted_semantics = True
+            self.scene_centers = {}
 
     class FakePolicy(MapCMAPolicy):
         def __init__(self):
@@ -79,6 +84,26 @@ def test_wire_keys_unknown_policy_uploads_everything():
         pass
 
     assert batching.wire_obs_keys(Mystery(), None) is None
+
+
+def test_wire_keys_buggy_property_fails_loud():
+    """An exception raised INSIDE device_obs_keys must propagate, not
+    silently disable the upload filter (VERDICT r4 weak #3: a
+    getattr-default swallowed AttributeError and re-uploaded every
+    frame — a performance cliff with no symptom)."""
+
+    class DeclaringPolicy:
+        device_obs_keys = frozenset({"depth"})
+
+    class BuggyTransform:
+        @property
+        def device_obs_keys(self):
+            raise AttributeError("missing internal attr")
+
+    with pytest.raises(AttributeError, match="missing internal attr"):
+        batching.wire_obs_keys(DeclaringPolicy(), BuggyTransform())
+    with pytest.raises(AttributeError):
+        batching.wire_obs_keys(BuggyTransform(), None)
 
 
 def test_uint16_wire_depth_through_fused_step_matches_float():
