@@ -182,8 +182,11 @@ _C.TPU.data_parallel_devices = -1
 # lane of HBM, so scene-sized grids unlock higher lane counts
 _C.TPU.world_grid_cells = 1024
 # auto-sizing margin beyond the episodes' recorded positions (walls and
-# furniture seen by the depth camera extend past the navigable paths);
-# undersizing is surfaced by the dropped-point telemetry, never silent
+# furniture seen by the depth camera extend past the navigable paths).
+# TOTAL meters added to the scene span: the grid is scene-centered, so
+# the slack is margin/2 per side (default 2.5 m/side) — plus whatever
+# the power-of-two rounding grants. Undersizing is surfaced by the
+# dropped-point telemetry, never silent.
 _C.TPU.world_grid_margin_meters = 5.0
 # known-map preload buffer (points/lane). Scene clouds larger than this
 # are truncated WITH a logged warning (the reference loads whole npz
@@ -208,6 +211,16 @@ _C.TPU.donate_state = True
 # executable; <=7.7e-6 quantization). Halves the largest sensor upload —
 # the live loops are upload-bound on constrained transports (BASELINE.md)
 _C.TPU.wire_depth_uint16 = True
+# BPTT encode chunking: frames per rematerialized encoder chunk in
+# build_distribution (0 = off: encode all T*N frames in one batch, the
+# reference's shape). Large T*N (e.g. T=64 x N=64 = 4096 depth frames)
+# OOMs a single chip's HBM on stored ResNet activations; a non-zero
+# chunk scans the encoders over ceil(T*N/chunk) jax.checkpoint'd chunks
+# so the backward recomputes them — standard TPU remat, ~1.3x encoder
+# FLOPs for an order-of-magnitude activation-memory cut. Caveat: with a
+# TRAINABLE map encoder the train-mode BatchNorm normalizes per chunk
+# (ghost batch norm) instead of over the full T*N batch.
+_C.TPU.train_encode_chunk = 0
 # orbax checkpointing directory (defaults next to CHECKPOINT_FOLDER)
 _C.TPU.async_checkpointing = False
 # non-empty: capture a jax.profiler trace of the first eval/train steps

@@ -516,17 +516,29 @@ def load_points_into_state(
     num_points: jnp.ndarray,  # (B,) actual point counts
     origin_pose: jnp.ndarray,  # (B, 3) pose used to center the grid
     max_points: Optional[int] = None,
+    scene_center: Optional[jnp.ndarray] = None,  # (B, 2) world (x, z)
 ) -> MapperState:
     """Preload known per-scene point clouds into lanes (known-map mode,
     reference GetGTWorldSemanticPointcloud, mapper.py:851-881 +
-    SemanticPointcloud.from_npz_file, mapper.py:283-294)."""
+    SemanticPointcloud.from_npz_file, mapper.py:283-294).
+
+    ``scene_center`` mirrors ``mapper_step``'s: when given, loaded
+    lanes' grids center on their scene instead of ``origin_pose`` —
+    required with scene-sized auto grids (mapping/scene_bounds.py),
+    where a robot-start-centered grid would drop preloaded points near
+    scene edges (ADVICE r4: this contract used to live only in a
+    caller-side comment)."""
     b, n, _ = xyz.shape
-    # (re)center the grid on the episode start pose for loaded lanes
-    # (obs_transforms substitutes the scene center into this pose's
-    # (x, z) when scene bounds are known)
-    new_origin = _grid_origin_for(
-        origin_pose[:, 0], origin_pose[:, 2], params
-    )
+    # (re)center the grid for loaded lanes: on the scene when its
+    # bounds are known, else on the episode start pose
+    if scene_center is not None:
+        new_origin = _grid_origin_for(
+            scene_center[:, 0], scene_center[:, 1], params
+        )
+    else:
+        new_origin = _grid_origin_for(
+            origin_pose[:, 0], origin_pose[:, 2], params
+        )
     load = lane_mask
     state = clear_lanes(state, ~load)
     origin = jnp.where(load[:, None], new_origin, state.origin)

@@ -257,9 +257,10 @@ class Mapper:
         counts = np.zeros((n_rows,), np.int32)
         pose = np.zeros((n_rows, 3), np.float32)
         live_pose = np.asarray(observations["world_robot_pose"], np.float32)
-        # load_points_into_state centers the lane's grid on this pose's
-        # (x, z); use the scene center when known so the preloaded cloud
-        # fits a scene-sized grid regardless of where the robot starts
+        # scene-center the loaded lanes' grids when bounds are known so
+        # the preloaded cloud fits a scene-sized grid regardless of
+        # where the robot starts (load_points_into_state scene_center)
+        centers = np.zeros((n_rows, 2), np.float32)
         live_centers = (
             self._host_scene_centers(observations)
             if self.scene_centers
@@ -268,7 +269,7 @@ class Mapper:
         for i in range(b):
             row = int(rows[i])
             pose[row] = live_pose[i]
-            pose[row, [0, 2]] = live_centers[i]
+            centers[row] = live_centers[i]
             name = env_names[i] if env_names is not None else None
             if masks[i] == 0 or self._loaded_env_names[row] != name:
                 x, s, n = self._load_known_map(name)
@@ -284,6 +285,7 @@ class Mapper:
                 jnp.asarray(sem),
                 jnp.asarray(counts),
                 jnp.asarray(pose),
+                scene_center=jnp.asarray(centers),
             )
 
     def _host_scene_centers(self, observations: Dict) -> np.ndarray:

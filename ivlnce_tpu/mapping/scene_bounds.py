@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Tuple
 
-from ivlnce_tpu.tasks.dataset import make_dataset, scene_from_scene_path
+from ivlnce_tpu.tasks.dataset import env_name_from_scene_path, make_dataset
 
 
 def scene_geometry_from_dataset(
@@ -49,7 +49,10 @@ def scene_geometry_from_dataset(
         )
 
     for ep in dataset.episodes:
-        name = scene_from_scene_path(ep.scene_id)
+        # keyed by env_name (NOT scene_from_scene_path): lanes look
+        # centers up with EnvNameSensor observations, whose derivation
+        # differs for multi-dot scene filenames (ADVICE r4)
+        name = env_name_from_scene_path(ep.scene_id)
         pts = [ep.start_position]
         if ep.goals:
             pts += [g.position for g in ep.goals]
@@ -76,6 +79,15 @@ def auto_grid_cells(
     window_cells: int,
 ) -> int:
     """Static grid side (in half-res cells) covering ``span + margin``.
+
+    ``margin_meters`` is a TOTAL addition to the bounding-box span — the
+    grid is scene-centered, so the slack beyond the recorded episode
+    geometry is margin/2 PER SIDE (5 m default = 2.5 m/side). The depth
+    camera sees up to DEPTH_SCALE_METERS (10 m) past the agent, so
+    off-path walls can exceed the slack near scene edges; that is an
+    accepted trade (dropped points are counted and warned at eval end,
+    never silent) because the power-of-two rounding below usually grants
+    far more physical slack than the nominal margin anyway.
 
     Rounded up to a power of two (sort/slice-friendly shapes; XLA tiles
     them best) with a floor of the egocentric rasterize window — the

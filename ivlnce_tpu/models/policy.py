@@ -67,6 +67,12 @@ class _CMAPolicyBase:
         )
         self.model_config = model_config.freeze()
         self.observation_info = observation_info
+        # frames per rematerialized encoder chunk during BPTT (0 = off;
+        # TPU.train_encode_chunk — see config/default.py for the
+        # memory/FLOPs trade and the trainable-map-BN caveat)
+        self.encode_chunk = int(
+            config.TPU.train_encode_chunk if "TPU" in config else 0
+        )
 
     # -- hooks ---------------------------------------------------------------
     def net_init(self, key) -> Params:
@@ -198,12 +204,13 @@ class _CMAPolicyBase:
             agent_masks, tour_masks_t
         )
 
-        feats = self.net_encode(
+        feats = self._encode_seq(
             params,
             observations,
             prev_actions,
             agent_masks.reshape(-1),
             training,
+            tn,
         )
         feats_t = jax.tree_util.tree_map(
             lambda a: a.reshape((t, n) + a.shape[1:]), feats
@@ -225,6 +232,53 @@ class _CMAPolicyBase:
         """(episode, tour) per-step training masks; MapCMA resets on agent
         episode boundaries."""
         return agent_masks_t, tour_masks_t
+
+    def _encode_seq(
+        self, params, observations, prev_actions, masks, training, tn
+    ):
+        """net_encode over T*N flattened rows, optionally chunked +
+        rematerialized (TPU.train_encode_chunk).
+
+        With chunking on, the encoders run as a lax.scan over
+        ceil(tn/chunk) jax.checkpoint'd chunks: only the (small) CMA
+        feature outputs are stored across the scan, and the backward
+        pass recomputes each chunk's encoder activations in turn — the
+        peak-HBM term drops from O(tn) stored ResNet activations to
+        O(chunk). Rows are zero-padded up to a whole number of chunks
+        (static shapes for XLA); padded rows are sliced off the outputs
+        and never reach the loss.
+        """
+        chunk = self.encode_chunk
+        if not training or chunk <= 0 or tn <= chunk:
+            return self.net_encode(
+                params, observations, prev_actions, masks, training
+            )
+        k = -(-tn // chunk)
+        pad = k * chunk - tn
+
+        def _chunked(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0
+                )
+            return a.reshape((k, chunk) + a.shape[1:])
+
+        obs_c = jax.tree_util.tree_map(_chunked, dict(observations))
+        pa_c = _chunked(prev_actions)
+        m_c = _chunked(masks.reshape(-1))
+
+        @jax.checkpoint
+        def encode_chunk(o, pa, m):
+            return self.net_encode(params, o, pa, m, training)
+
+        def body(carry, inp):
+            o, pa, m = inp
+            return carry, encode_chunk(o, pa, m)
+
+        _, feats_k = jax.lax.scan(body, (), (obs_c, pa_c, m_c))
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((k * chunk,) + a.shape[2:])[:tn], feats_k
+        )
 
 
 @registry.register_policy(name="MapCMAPolicy")

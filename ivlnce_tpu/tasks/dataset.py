@@ -114,7 +114,20 @@ class VLNExtendedEpisode:
 
 
 def scene_from_scene_path(scene_id: str) -> str:
+    """Scene name as the dataset/task layer derives it (reference
+    task.py:311: splitext keeps 'X.basis' for 'X.basis.glb')."""
     return os.path.splitext(os.path.basename(scene_id))[0]
+
+
+def env_name_from_scene_path(scene_id: str) -> str:
+    """Scene name as the EnvNameSensor derives it (reference
+    sensors.py:357-360: first dot wins, 'X' for 'X.basis.glb').
+
+    The two derivations differ for multi-dot scene filenames; anything
+    KEYED for lookup by env_name observations (scene centers, known-map
+    npz files) must use THIS one (ADVICE r4: splitext-keyed scene
+    centers missed every env_name lookup on HM3D-style names)."""
+    return os.path.basename(scene_id).split(".")[0]
 
 
 @registry.register_dataset(name="VLN-CE-v1")

@@ -190,7 +190,9 @@ class EnvNameSensor(Sensor):
     cls_uuid = "env_name"
 
     def get_observation(self, observations, episode, **kwargs):
-        return os.path.basename(episode.scene_id).split(".")[0]
+        from ivlnce_tpu.tasks.dataset import env_name_from_scene_path
+
+        return env_name_from_scene_path(episode.scene_id)
 
 
 SENSOR_TYPE_TO_CONFIG_KEY = {

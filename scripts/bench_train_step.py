@@ -61,7 +61,7 @@ def make_batch(rng, t, n):
     return obs, prev, masks, corrected, weights
 
 
-def bench_jax(t, n, iters, trials):
+def bench_jax(t, n, iters, trials, encode_chunk=0):
     from ivlnce_tpu.utils.jax_setup import setup_jax
 
     setup_jax()  # persistent compile cache + IVLNCE_PLATFORM override
@@ -77,6 +77,7 @@ def bench_jax(t, n, iters, trials):
     config.defrost()
     config.MODEL.policy_name = "MapCMAPolicy"
     config.MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    config.TPU.train_encode_chunk = encode_chunk
     config.freeze()
     policy = MapCMAPolicy.from_config(config, {"depth_hw": 256, "map_hw": MAP_HW})
     cpu = jax.devices("cpu")[0]
@@ -99,7 +100,12 @@ def bench_jax(t, n, iters, trials):
     rng = np.random.default_rng(0)
     obs, prev, masks, corrected, weights = make_batch(rng, t, n)
     obs = {k: jnp.asarray(v) for k, v in obs.items()}
-    args = lambda: (  # noqa: E731
+    # hoisted OUT of the timed loop (ADVICE r4): none of these are
+    # donated, so the same device arrays serve every step — re-building
+    # them per iteration timed H2D transfer + host allocation, not the
+    # train step. The real trainers overlap those uploads with the
+    # previous step anyway (prefetch thread, utils/prefetch.py).
+    args = (
         jnp.asarray(prev),
         jnp.asarray(masks),
         jnp.asarray(masks),
@@ -109,12 +115,12 @@ def bench_jax(t, n, iters, trials):
     )
 
     t0 = time.time()
-    params, opt_state, loss, *_ = step(params, opt_state, obs, *args())
+    params, opt_state, loss, *_ = step(params, opt_state, obs, *args)
     float(loss)
     log(f"jax T={t} N={n}: compile+first {time.time() - t0:.1f}s")
     # warmup past the transport's lazy server-side warmup
     for _ in range(3):
-        params, opt_state, loss, *_ = step(params, opt_state, obs, *args())
+        params, opt_state, loss, *_ = step(params, opt_state, obs, *args)
     float(loss)
 
     rates = []
@@ -122,7 +128,7 @@ def bench_jax(t, n, iters, trials):
         t0 = time.time()
         for _ in range(iters):
             params, opt_state, loss, *_ = step(
-                params, opt_state, obs, *args()
+                params, opt_state, obs, *args
             )
         float(loss)  # one sync per window
         dt = time.time() - t0
@@ -137,6 +143,107 @@ def bench_jax(t, n, iters, trials):
         "frames_per_sec": med * t * n,
         "trials": [float(r) for r in rates],
     }
+
+
+def bench_dp(t, n, iters, trials, n_devices):
+    """DP scaling efficiency of the sharded train step (VERDICT r4 #5).
+
+    One real chip is available here, so the DP figure is measured the
+    way the multichip dryrun validates sharding: a virtual N-device CPU
+    mesh (xla_force_host_platform_device_count). The number reported is
+    the RELATIVE speedup of the same sharded_train_step over a
+    ``(data=N)`` mesh vs a ``(data=1)`` mesh at fixed global batch —
+    i.e. strong-scaling efficiency of the XLA-inserted grad psum +
+    batch split, not absolute chip throughput.
+    """
+    # IVLNCE_PLATFORM (not JAX_PLATFORMS: the axon sitecustomize stomps
+    # the env var — see .claude/skills/verify/SKILL.md) + the forced
+    # host device count, both bound before the first backend use
+    os.environ["IVLNCE_PLATFORM"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    )
+    from ivlnce_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ivlnce_tpu.config import get_config
+    from ivlnce_tpu.models.policy import MapCMAPolicy
+    from ivlnce_tpu.parallel.mesh import make_mesh
+    from ivlnce_tpu.parallel.train import sharded_train_step
+
+    assert n % n_devices == 0, (n, n_devices)
+    config = get_config().clone()
+    config.defrost()
+    config.MODEL.policy_name = "MapCMAPolicy"
+    config.MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    config.freeze()
+    policy = MapCMAPolicy.from_config(
+        config, {"depth_hw": 256, "map_hw": MAP_HW}
+    )
+    params_host = jax.device_get(policy.init_params(jax.random.PRNGKey(0)))
+    optimizer = optax.adam(config.IL.lr)
+
+    rng = np.random.default_rng(0)
+    obs_np, prev, masks, corrected, weights = make_batch(rng, t, n)
+
+    out = {}
+    for nd in (1, n_devices):
+        mesh = make_mesh(nd)
+        params = jax.tree_util.tree_map(jnp.asarray, params_host)
+        opt_state = optimizer.init(params)
+        step = sharded_train_step(
+            policy,
+            optimizer,
+            mesh,
+            params,
+            opt_state,
+            use_progress=True,
+            alpha=config.MODEL.PROGRESS_MONITOR.alpha,
+            update_map_bn=config.MODEL.SEMANTIC_MAP_ENCODER.trainable,
+        )
+        obs = {k: jnp.asarray(v) for k, v in obs_np.items()}
+        args = (
+            jnp.asarray(prev),
+            jnp.asarray(masks),
+            jnp.asarray(masks),
+            jnp.asarray(corrected),
+            jnp.asarray(weights),
+            policy.initial_rnn_states(n),
+        )
+        t0 = time.time()
+        params, opt_state, loss, *_ = step(params, opt_state, obs, *args)
+        loss0 = float(loss)
+        log(f"dp={nd} T={t} N={n}: compile+first {time.time() - t0:.1f}s")
+        rates = []
+        for _ in range(trials):
+            t0 = time.time()
+            for _ in range(iters):
+                params, opt_state, loss, *_ = step(
+                    params, opt_state, obs, *args
+                )
+            float(loss)
+            rates.append(iters / (time.time() - t0))
+            log(f"dp={nd} T={t} N={n}: {rates[-1]:.3f} updates/s")
+        out[str(nd)] = {
+            "updates_per_sec": float(np.median(rates)),
+            "first_loss": loss0,
+            "trials": [float(r) for r in rates],
+        }
+    out["dp_speedup"] = (
+        out[str(n_devices)]["updates_per_sec"] / out["1"]["updates_per_sec"]
+    )
+    out["dp_efficiency"] = out["dp_speedup"] / n_devices
+    # same data + params on both meshes: the loss must agree bit-for-bit
+    # modulo reduction order (psum over data vs single-device sum)
+    out["loss_parity"] = abs(
+        out["1"]["first_loss"] - out[str(n_devices)]["first_loss"]
+    )
+    return out
 
 
 def bench_torch(t, n, iters, trials):
@@ -275,11 +382,40 @@ def main():
     ap.add_argument("--torch-lanes", type=int, nargs="+", default=[5])
     ap.add_argument("--torch-iters", type=int, default=3)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument(
+        "--encode-chunk",
+        type=int,
+        default=0,
+        help="TPU.train_encode_chunk: frames per rematerialized encoder "
+        "chunk (0 = reference-shaped single-batch encode; T=64 x N=64 "
+        "OOMs a 16G chip without it — the map-encoder conv activations "
+        "alone need >6.5G at T*N=4096)",
+    )
+    ap.add_argument(
+        "--dp",
+        type=int,
+        default=0,
+        metavar="N_DEVICES",
+        help="measure DP strong-scaling on a virtual N-device CPU mesh "
+        "INSTEAD of the on-chip benches (must run in its own process: "
+        "the device-count XLA flag binds at first jax import)",
+    )
     args = ap.parse_args()
+
+    if args.dp:
+        out = {"T": args.T, "dp": {}}
+        for n in args.lanes:
+            out["dp"][str(n)] = bench_dp(
+                args.T, n, args.iters, args.trials, args.dp
+            )
+        print(json.dumps(out))
+        return
 
     out = {"T": args.T, "jax": {}, "torch": {}}
     for n in args.lanes:
-        out["jax"][str(n)] = bench_jax(args.T, n, args.iters, args.trials)
+        out["jax"][str(n)] = bench_jax(
+            args.T, n, args.iters, args.trials, args.encode_chunk
+        )
     if not args.skip_torch:
         for n in args.torch_lanes:
             out["torch"][str(n)] = bench_torch(

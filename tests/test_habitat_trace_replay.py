@@ -294,3 +294,132 @@ def test_waypoint_follower_matches_trace_actions(trace):
         assert follower.mode == "waypoint"  # rendering backends: no steps
         action = follower.get_next_action(case["goal"])
         assert action == case["expected"], (i, case, action)
+
+
+# ---------------------------------------------------------------------------
+# multi-episode tour through the adapter (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+def test_multi_episode_tour_through_adapter(monkeypatch, trace):
+    """Drive HabitatSimAdapter exactly the way the iterative env's tour
+    loop does — episodes grouped scene-major, teleport between episode
+    starts, STOP at episode ends, scene switch mid-tour — and pin the
+    cross-episode contracts:
+
+    - reconfigure() to the SAME scene is a no-op (tours group by scene;
+      rebuilding the sim per episode would forfeit that design);
+    - set/get_agent_state round-trips (x, y, z, w) quaternion coeffs
+      through habitat_sim.utils.common.quat_from_coeffs (the adapter's
+      preferred path, habitat_backend.py:311-331);
+    - a collision inside episode k never leaks into episode k+1 (STOP
+      clears previous_step_collided, habitat-lab reset semantics);
+    - switching scenes rebuilds the sim AND the Semantic12 LUT from the
+      new scene's annotations (reference re-derives the whitelist per
+      scene, habitat_extensions/sensors.py:283-310).
+    """
+    _install_trace_habitat_sim(monkeypatch, trace, 0)
+    import habitat_sim as hsim_mock
+
+    ann_rows = json.loads(str(trace["annotations"]))
+
+    class _Cat:
+        def __init__(self, mpcat40, raw):
+            self._m, self._r = mpcat40, raw
+
+        def name(self, mapping="mpcat40"):
+            return self._m if mapping == "mpcat40" else self._r
+
+    class _Obj:
+        def __init__(self, oid, mpcat40, raw):
+            self.id = oid
+            self.category = _Cat(mpcat40, raw)
+
+    # scene B relabels every instance as void -> semantic12 must go to 0
+    scene_annotations = {
+        "scene_A": types.SimpleNamespace(
+            objects=[_Obj(*row) for row in ann_rows]
+        ),
+        "scene_B": types.SimpleNamespace(
+            objects=[_Obj(row[0], "void", "void") for row in ann_rows]
+        ),
+    }
+    built = []
+
+    class _TourSim(hsim_mock.Simulator):
+        def __init__(self, configuration):
+            super().__init__(configuration)
+            scene = configuration.backend.scene_id
+            built.append(scene)
+            self.semantic_scene = scene_annotations[scene]
+            self.collide_next = False
+
+        def step(self, action):
+            raw = dict(self.get_sensor_observations())
+            raw["collided"] = self.collide_next
+            self.collide_next = False
+            return raw
+
+    monkeypatch.setattr(hsim_mock, "Simulator", _TourSim)
+
+    # quat_from_coeffs: the adapter's preferred rotation path
+    class _Quat:
+        def __init__(self, x, y, z, w):
+            self.x, self.y, self.z, self.w = x, y, z, w
+
+    common = types.ModuleType("habitat_sim.utils.common")
+    common.quat_from_coeffs = lambda c: _Quat(*np.asarray(c, np.float64))
+    utils_mod = types.ModuleType("habitat_sim.utils")
+    utils_mod.common = common
+    hsim_mock.utils = utils_mod
+    monkeypatch.setitem(sys.modules, "habitat_sim.utils", utils_mod)
+    monkeypatch.setitem(sys.modules, "habitat_sim.utils.common", common)
+
+    from ivlnce_tpu.config.task_default import get_extended_config
+    from ivlnce_tpu.envs.habitat_backend import HabitatSimAdapter
+
+    cfg = get_extended_config()
+    cfg.defrost()
+    cfg.SIMULATOR.AGENT_0.SENSORS = [
+        "RGB_SENSOR", "DEPTH_SENSOR", "SEMANTIC_SENSOR"
+    ]
+    cfg.freeze()
+    adapter = HabitatSimAdapter(cfg.SIMULATOR, "scene_A")
+    assert built == ["scene_A"]
+
+    # a scene-major tour: two episodes in scene_A, one in scene_B
+    tour = [
+        ("scene_A", [1.0, 0.2, -3.0], [0.0, 0.382683, 0.0, 0.923880]),
+        ("scene_A", [4.5, 0.2, 2.25], [0.0, -0.707107, 0.0, 0.707107]),
+        ("scene_B", [-2.0, 0.6, 7.5], [0.0, 1.0, 0.0, 0.0]),
+    ]
+    lut_after_ep1 = None
+    for k, (scene, start, quat) in enumerate(tour):
+        adapter.reconfigure(scene)
+        adapter.set_agent_state(start, quat)
+
+        got = adapter.get_agent_state()
+        np.testing.assert_allclose(got.position, start, atol=1e-6)
+        np.testing.assert_allclose(got.rotation, quat, atol=1e-9)
+        assert adapter.previous_step_collided is False, k
+
+        obs = adapter.render_observations()  # episode-start render
+        if scene == "scene_A":
+            np.testing.assert_array_equal(
+                obs["semantic12"][..., 0], trace["sem_expected"][0]
+            )
+        else:
+            assert int(obs["semantic12"].max()) == 0  # all void
+
+        adapter._sim.collide_next = True
+        adapter.step(2)  # MOVE_FORWARD into a wall
+        assert adapter.previous_step_collided is True
+        adapter.step(0)  # STOP: episode boundary clears the record
+        assert adapter.previous_step_collided is False
+
+        if k == 0:
+            lut_after_ep1 = adapter._semantic12
+        if k == 1:  # same scene: sim NOT rebuilt, LUT reused
+            assert built == ["scene_A"]
+            assert adapter._semantic12 is lut_after_ep1
+    # the scene switch rebuilt the sim exactly once (mock lacks
+    # sim.reconfigure -> the adapter's full-rebuild fallback)
+    assert built == ["scene_A", "scene_B"]
