@@ -375,7 +375,7 @@ def bench_torch(t, n, iters, trials):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lanes", type=int, nargs="+", default=[5, 64])
+    ap.add_argument("--lanes", type=int, nargs="*", default=[5, 64])
     ap.add_argument("--T", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trials", type=int, default=3)
