@@ -228,3 +228,44 @@ def test_reporter_flush_uses_sidecar_best(bench, capsys, monkeypatch):
     assert armed["stale"] is True
     r.final({"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1})
     capsys.readouterr()
+
+
+def test_latent_lane_lands_in_final_record(bench, monkeypatch, capsys):
+    """The secondary LatentCMA measurement rides the final record as
+    latent_cma_steps_per_sec / latent_lanes; its absence (budget/
+    failure) leaves the headline record untouched."""
+    fake = _fake_tpu(400.0)
+
+    def with_latent(reporter=None):
+        out = fake(reporter)
+        out["latent"] = {
+            "steps_per_sec": 512.5, "lanes": 256, "trials": 2,
+        }
+        return out
+
+    monkeypatch.setattr(bench, "bench_tpu", with_latent)
+    monkeypatch.setattr(bench, "bench_torch", lambda b: 40.0)
+    rec = _run_main(bench, capsys)
+    assert rec["latent_cma_steps_per_sec"] == 512.5
+    assert rec["latent_lanes"] == 256
+    assert rec["value"] == 400.0  # headline unchanged
+
+    monkeypatch.setattr(bench, "bench_tpu", _fake_tpu(400.0))
+    rec = _run_main(bench, capsys)
+    assert "latent_cma_steps_per_sec" not in rec
+
+
+def test_measure_latent_runs_the_fused_act_step(bench):
+    """Execution coverage for the LatentCMA bench lane itself (tiny
+    shapes on the CPU platform)."""
+    import jax
+
+    monkeypatch_hw = bench.DEPTH_HW
+    bench.DEPTH_HW = 64
+    try:
+        pipe = bench.TpuPipeline.__new__(bench.TpuPipeline)
+        pipe.jax = jax
+        rates = pipe.measure_latent(2, warmup=1, iters=2, trials=1)
+        assert rates.shape == (1,) and float(rates[0]) > 0
+    finally:
+        bench.DEPTH_HW = monkeypatch_hw
