@@ -57,8 +57,12 @@ GRID_CELLS = int(os.environ.get("IVLNCE_BENCH_GRID", "512"))
 # PROVEN point first (VERDICT r4 weak #2): B=768 has won every phase
 # profile; B=1024 measured ~1.5x worse per lane in r4 and only runs
 # after the established points. The budget skip rule cuts the tail, so
-# the order is also the priority order.
-SWEEP_LANES = (768, 512, 1024, 384, 256)
+# the order is also the priority order. B=384/256 are retired from the
+# sweep: strictly dominated in every recorded session (r5: 185.5 and
+# 150.8 steps/s vs 389.3 at B=768) — their ~4 min now buys extra final
+# trials, which is what gets the trial count to >=5 and the spread
+# statistic onto the trimmed (middle-trials) estimator.
+SWEEP_LANES = (768, 512, 1024)
 SWEEP_ITERS = 10
 WARMUP = 40
 # long trials + median of 7: the tunnel's throughput wanders on ~minute
